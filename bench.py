@@ -1,0 +1,128 @@
+"""Headline benchmark: dual-sensor 320x427 depth frames/sec/chip.
+
+Measures the full deployable graph (BASELINE.json configs 1-2) on the real
+TPU: raw (N, 6, 320, 427) dual-GelSlim frames + base frame -> per-finger
+difference image -> area resize to 160x213 -> normalize -> flagship U-Net
+(bf16 compute, f32 accumulation) -> denormalize to mm -> area resize back
+to 320x427 -> (N, 2, 320, 427).
+
+Measurement methodology (important on tunneled/async runtimes where
+block_until_ready does not synchronize with device execution): the K
+benchmark iterations are chained through a lax.scan whose carry is a scalar
+derived from each step's full output (so no step can be elided or
+overlapped-away), and wall time is taken around a single scalar host
+readback. Constant dispatch/readback overhead is cancelled by differencing
+two chain lengths (K and 2K).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": "dual_frames_per_sec_per_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": N/1000}
+vs_baseline is against the driver's north-star target of 1,000 dual-sensor
+frames/s/chip (BASELINE.md; the reference publishes no throughput numbers).
+Diagnostics go to stderr.
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(config, unet_cfg, batch, k, dtype):
+    from gelslim_depth_tpu.inference import fused_predict_dual
+
+    @functools.partial(jax.jit, static_argnames=())
+    def chained(params, stats, x0, base):
+        def body(carry, _):
+            out = fused_predict_dual(
+                config, unet_cfg, params, stats, x0 + carry, base, (320, 427),
+                compute_dtype=dtype,
+            )
+            # scalar carry derived from the full output: forces each step to
+            # complete before the next starts and defeats dead-code elision;
+            # 1e-12 keeps the perturbation numerically irrelevant
+            return 1e-12 * jnp.mean(out), None
+
+        c, _ = lax.scan(body, jnp.float32(0.0), None, length=k)
+        return c
+
+    return chained
+
+
+def timed(fn, params, stats, x, base):
+    t0 = time.perf_counter()
+    c = fn(params, stats, x, base)
+    c = float(c)  # host readback = the only true synchronization point
+    dt = time.perf_counter() - t0
+    assert np.isfinite(c), "non-finite benchmark output"
+    return dt
+
+
+def main():
+    from gelslim_depth_tpu.config import GelslimConfig
+    from gelslim_depth_tpu.models.unet import init_unet
+
+    config = GelslimConfig(
+        CNN_dimensions=(64, 128, 256, 512, 1024),
+        input_tactile_image_size=(160, 213),
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        depth_normalization_parameters=(-1.9180814027786255, 0.0),
+        norm_scale=0.9,
+        use_difference_image=True,
+    )
+    unet_cfg = config.unet_config()
+    params, stats = init_unet(jax.random.PRNGKey(0), unet_cfg)
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind}, platform {dev.platform}")
+
+    rng = np.random.RandomState(0)
+    base = jnp.asarray(rng.uniform(0, 255, (6, 320, 427)).astype(np.float32))
+
+    K = 8
+    best = (0.0, None)
+    for batch in (8, 16, 32):
+        try:
+            x = jnp.asarray(rng.uniform(0, 255, (batch, 6, 320, 427)).astype(np.float32))
+            f1 = build(config, unet_cfg, batch, K, jnp.bfloat16)
+            f2 = build(config, unet_cfg, batch, 2 * K, jnp.bfloat16)
+            timed(f1, params, stats, x, base)  # compile+warm
+            timed(f2, params, stats, x, base)
+            t1 = min(timed(f1, params, stats, x, base) for _ in range(3))
+            t2 = min(timed(f2, params, stats, x, base) for _ in range(3))
+            dt_per_iter = (t2 - t1) / K
+            fps = batch / dt_per_iter
+            log(
+                f"batch {batch}: t(K={K})={t1*1e3:.1f}ms t(K={2*K})={t2*1e3:.1f}ms "
+                f"-> {dt_per_iter*1e3:.2f} ms/iter, {fps:.1f} frames/s"
+            )
+            if fps > best[0]:
+                best = (fps, batch)
+        except Exception as e:
+            log(f"batch {batch} failed: {type(e).__name__}: {e}")
+
+    fps, batch = best
+    log(f"best: batch {batch} -> {fps:.1f} dual frames/s/chip")
+    print(
+        json.dumps(
+            {
+                "metric": "dual_frames_per_sec_per_chip",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 1000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,17 @@
+from gelslim_depth_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    make_dp_train_step,
+    make_dp_eval_step,
+    make_dp_predict,
+)
+
+__all__ = [
+    "make_mesh",
+    "replicate",
+    "shard_batch",
+    "make_dp_train_step",
+    "make_dp_eval_step",
+    "make_dp_predict",
+]

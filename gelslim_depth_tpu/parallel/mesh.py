@@ -1,0 +1,111 @@
+"""Data-parallel scaling via jax.sharding.Mesh + NamedSharding.
+
+The reference is single-process single-GPU with no distributed code at all
+(SURVEY.md section 2.3); this module *adds* multi-chip data parallelism as
+first-class functionality, the TPU way: the train step stays the pure
+function from train/steps.py, parameters/optimizer/EMA state are replicated,
+the batch is sharded over the 'data' mesh axis, and XLA inserts the gradient
+all-reduce (psum over ICI) automatically from the sharding annotations —
+there are no explicit collectives to maintain.
+
+Batch-norm note: because the batch statistics are means over the sharded
+batch axis, XLA turns them into cross-device reductions — i.e. DP training
+here computes *global* (synced) batch norm, matching single-device math
+exactly instead of diverging per-replica.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gelslim_depth_tpu.models.unet import UNetConfig, unet_apply
+from gelslim_depth_tpu.train.steps import TrainState, make_train_step, make_eval_step, mse_loss
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    """1-D device mesh over the first n (default all) local devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return jax.sharding.Mesh(devices, (axis_name,))
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
+    """Shard leading (batch) axis of every leaf across the mesh."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.device_put(tree, sharding)
+
+
+def make_dp_train_step(
+    unet_cfg: UNetConfig,
+    optimizer,
+    mesh: Mesh,
+    *,
+    axis_name: str = "data",
+    compute_dtype=jnp.float32,
+    channels_last: bool = False,
+    donate: bool = True,
+):
+    """Jitted DP train step: state replicated, batch sharded on its leading
+    axis. Returns step(state, images, targets) -> (state, loss)."""
+    base = make_train_step(
+        unet_cfg, optimizer, compute_dtype=compute_dtype, channels_last=channels_last
+    )
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(
+        mesh, P(axis_name, *([None] * 3))
+    )
+    return jax.jit(
+        base,
+        in_shardings=(repl, batched, batched),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_dp_eval_step(
+    unet_cfg: UNetConfig,
+    mesh: Mesh,
+    *,
+    axis_name: str = "data",
+    use_ema: bool = True,
+    compute_dtype=jnp.float32,
+    channels_last: bool = False,
+):
+    base = make_eval_step(
+        unet_cfg, use_ema=use_ema, compute_dtype=compute_dtype, channels_last=channels_last
+    )
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P(axis_name, None, None, None))
+    return jax.jit(base, in_shardings=(repl, batched, batched), out_shardings=repl)
+
+
+def make_dp_predict(
+    unet_cfg: UNetConfig,
+    mesh: Mesh,
+    *,
+    axis_name: str = "data",
+    compute_dtype=jnp.float32,
+):
+    """Batch-sharded eval-mode forward for high-throughput inference
+    (BASELINE.json config 5's multi-chip streaming half)."""
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P(axis_name, None, None, None))
+
+    def fwd(params, batch_stats, images):
+        y, _ = unet_apply(
+            unet_cfg, params, batch_stats, images, train=False, compute_dtype=compute_dtype
+        )
+        return y
+
+    return jax.jit(fwd, in_shardings=(repl, repl, batched), out_shardings=batched)

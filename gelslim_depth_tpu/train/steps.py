@@ -1,0 +1,142 @@
+"""Pure jitted train/eval steps (the reference's inner loops, functionalized).
+
+Reference behavior matched (ref train_utils/train_unet.py):
+- loss: MSE over the batch (:51-52), with a NaN-loss guard that zeroes a
+  bad batch's contribution (:370-372). Here a NaN loss skips the entire
+  parameter/optimizer/EMA update for that batch (lax.cond) and reports 0 —
+  strictly safer than the reference, whose guard would desync the graph.
+- optimizer: Adam(lr=1e-3, weight_decay=1e-6) with torch semantics — the
+  L2 term is added to the gradient *before* the moment estimates
+  (optax.add_decayed_weights placed before scale_by_adam), unlike AdamW
+  (:306).
+- EMA(0.995) updated after every optimizer step (:309,376); validation,
+  test, and checkpoints all use the EMA shadow params (:389,428,480).
+- batch-norm running stats update in train mode and are used in eval mode.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gelslim_depth_tpu.models.unet import UNetConfig, init_unet, unet_apply
+from gelslim_depth_tpu.train.ema import EmaState, ema_init, ema_update
+
+
+def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.square(pred - target))
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: EmaState
+    step: jnp.ndarray
+
+
+def make_optimizer(learning_rate: float = 1e-3, weight_decay: float = 1e-6) -> optax.GradientTransformation:
+    """torch.optim.Adam equivalence: L2 into the gradient, then Adam moments,
+    then -lr scaling (NOT decoupled AdamW)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-learning_rate),
+    )
+
+
+def create_train_state(
+    key: jax.Array,
+    unet_cfg: UNetConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    ema_decay: float = 0.995,
+    reinit_std: Optional[float] = 0.01,
+    params=None,
+    batch_stats=None,
+) -> TrainState:
+    """Fresh state with the reference's N(0, 0.01) weight re-init
+    (train_unet.py:246-250), or wrap provided (fine-tune) weights."""
+    if params is None or batch_stats is None:
+        k_init, k_reinit = jax.random.split(key)
+        params, batch_stats = init_unet(k_init, unet_cfg)
+        if reinit_std is not None:
+            from gelslim_depth_tpu.models.unet import reinit_weights_normal
+
+            params = reinit_weights_normal(params, k_reinit, std=reinit_std)
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+        ema=ema_init(params, decay=ema_decay),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    unet_cfg: UNetConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    compute_dtype=jnp.float32,
+    channels_last: bool = False,
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], Tuple[TrainState, jnp.ndarray]]:
+    """Returns step(state, images, targets) -> (state, loss). Pure; jit (or
+    shard_map over a mesh) at the call site."""
+
+    def loss_fn(params, batch_stats, images, targets):
+        pred, new_stats = unet_apply(
+            unet_cfg, params, batch_stats, images,
+            train=True, compute_dtype=compute_dtype, channels_last=channels_last,
+        )
+        return mse_loss(pred, targets), new_stats
+
+    def step(state: TrainState, images: jnp.ndarray, targets: jnp.ndarray):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, images, targets
+        )
+        bad = jnp.logical_not(jnp.isfinite(loss))
+
+        def apply_update(_):
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(
+                params=params,
+                batch_stats=new_stats,
+                opt_state=opt_state,
+                ema=ema_update(state.ema, params),
+                step=state.step + 1,
+            )
+
+        def skip_update(_):
+            return state._replace(step=state.step + 1)
+
+        new_state = jax.lax.cond(bad, skip_update, apply_update, None)
+        return new_state, jnp.where(bad, 0.0, loss)
+
+    return step
+
+
+def make_eval_step(
+    unet_cfg: UNetConfig,
+    *,
+    use_ema: bool = True,
+    compute_dtype=jnp.float32,
+    channels_last: bool = False,
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Returns eval(state, images, targets) -> loss, run under the EMA
+    shadow params by default (the reference validates/tests under
+    ema.average_parameters(); train_unet.py:389,428)."""
+
+    def step(state: TrainState, images: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+        params = state.ema.shadow if use_ema else state.params
+        pred, _ = unet_apply(
+            unet_cfg, params, state.batch_stats, images,
+            train=False, compute_dtype=compute_dtype, channels_last=channels_last,
+        )
+        loss = mse_loss(pred, targets)
+        return jnp.where(jnp.isfinite(loss), loss, 0.0)
+
+    return step

@@ -1,0 +1,144 @@
+"""End-to-end fused-inference parity vs the reference chain composed in
+torch, plus config artifact round-trips.
+
+The reference inference graph (test_depth_estimation.py:14-20):
+resize(area, to input size) -> normalize image -> UNet -> denormalize
+depth -> resize(area, to output size). Parity gate from BASELINE.json:
+< 0.05 mm RMSE delta.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from gelslim_depth_tpu.config import GelslimConfig
+from gelslim_depth_tpu.inference import Predictor, StreamingEngine, predict_depth_from_RGB
+from gelslim_depth_tpu.models.torch_import import import_torch_state_dict
+from tests.torch_fixture import make_state_dict, torch_unet_forward
+
+DIMS = (8, 16, 32)
+DEPTH_RANGE = (-1.9180814027786255, 0.0)
+
+
+def small_config():
+    return GelslimConfig(
+        CNN_dimensions=DIMS,
+        input_tactile_image_size=(40, 53),
+        depth_normalization_parameters=DEPTH_RANGE,
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        norm_scale=0.9,
+    )
+
+
+def torch_reference_chain(sd, images_np, cfg: GelslimConfig, output_size):
+    """The reference's 5-step chain, composed with torch primitives."""
+    x = F.interpolate(torch.from_numpy(images_np), size=cfg.input_tactile_image_size, mode="area")
+    x = (x / 255.0).numpy()  # 0_255_to_0_1
+    y = torch_unet_forward(sd, x, DIMS)
+    # denormalize min_max_to_0_-1: x*denom/scale + bias, scale=-0.9
+    mn, mx = cfg.depth_normalization_parameters
+    y = y * (mx - mn) / (-cfg.norm_scale) + mn
+    return F.interpolate(torch.from_numpy(y), size=output_size, mode="area").numpy()
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    rng = np.random.RandomState(42)
+    sd = make_state_dict(rng, DIMS)
+    cfg = small_config()
+    params, stats = import_torch_state_dict(sd, cfg.unet_config())
+    return rng, sd, cfg, Predictor(cfg, params, stats)
+
+
+def test_fused_predict_parity_mm(bundle):
+    rng, sd, cfg, pred = bundle
+    images = rng.uniform(0, 255, (2, 3, 80, 107)).astype(np.float32)
+    out_size = (80, 107)
+    got = np.asarray(pred.predict_depth_from_RGB(images, out_size))
+    want = torch_reference_chain(sd, images, cfg, out_size)
+    rmse = float(np.sqrt(np.mean((got - want) ** 2)))
+    assert rmse < 0.05, f"mm RMSE delta {rmse} exceeds parity gate"
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_reference_signature_wrapper(bundle):
+    rng, sd, cfg, pred = bundle
+    images = rng.uniform(0, 255, (1, 3, 80, 107)).astype(np.float32)
+    a = np.asarray(predict_depth_from_RGB(images, pred, (40, 53), cfg))
+    b = np.asarray(pred.predict_depth_from_RGB(images, (40, 53)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_dual_frame_path(bundle):
+    rng, sd, cfg, pred = bundle
+    frames = rng.uniform(0, 255, (3, 6, 80, 107)).astype(np.float32)
+    base = rng.uniform(0, 255, (6, 80, 107)).astype(np.float32)
+    got = np.asarray(pred.predict_dual_frames(frames, base, (80, 107)))
+    assert got.shape == (3, 2, 80, 107)
+    # equals running each finger's difference image through the single path
+    diffs = ((frames.reshape(3, 2, 3, 80, 107) - base.reshape(1, 2, 3, 80, 107)) + 255.0) / 2.0
+    single = np.asarray(pred.predict_depth_from_RGB(diffs.reshape(6, 3, 80, 107), (80, 107)))
+    np.testing.assert_allclose(got.reshape(6, 1, 80, 107), single, rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_engine(bundle):
+    rng, sd, cfg, pred = bundle
+    base = rng.uniform(0, 255, (6, 80, 107)).astype(np.float32)
+    eng = StreamingEngine(pred, (80, 107), base_frame=base)
+    frames = [rng.uniform(0, 255, (6, 80, 107)).astype(np.float32) for _ in range(4)]
+    for f in frames:
+        eng.submit(f)
+    assert eng.pending == 4
+    outs = eng.drain()
+    assert len(outs) == 4 and outs[0].shape == (1, 2, 80, 107)
+    want = np.asarray(pred.predict_dual_frames(frames[2][None], base, (80, 107)))
+    np.testing.assert_allclose(outs[2], want, rtol=1e-6, atol=1e-6)
+
+
+def test_config_python_roundtrip(tmp_path):
+    cfg = small_config()
+    cfg.train_objects = ["pattern_31_rod_train.pt"]
+    p = str(tmp_path / "config_test.py")
+    cfg.emit_python_config(p)
+    cfg2 = GelslimConfig.from_python_module(p)
+    assert cfg2.CNN_dimensions == tuple(DIMS)
+    assert cfg2.depth_normalization_parameters == DEPTH_RANGE
+    assert cfg2.train_objects == ["pattern_31_rod_train.pt"]
+    assert cfg2.input_tactile_image_size == (40, 53)
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = small_config()
+    p = str(tmp_path / "config.json")
+    cfg.save_json(p)
+    cfg2 = GelslimConfig.from_json(p)
+    assert cfg2 == cfg
+
+
+def test_tactile_alias_bugfix():
+    """The reference crashes reading config.tactile_normalization_method
+    (complete_prediction.py:6); our config must alias both spellings."""
+    cfg = small_config()
+    assert cfg.tactile_normalization_method == cfg.image_normalization_method
+    assert cfg.tactile_normalization_parameters == cfg.image_normalization_parameters
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/gelslim_depth/config/config_unet_bigdata.py"),
+    reason="reference checkout not present",
+)
+def test_import_shipped_reference_config():
+    cfg = GelslimConfig.from_python_module(
+        "/root/reference/gelslim_depth/config/config_unet_bigdata.py"
+    )
+    assert cfg.CNN_dimensions == (64, 128, 256, 512, 1024)
+    assert cfg.input_tactile_image_size == (160, 213)
+    assert cfg.depth_normalization_parameters == (-1.9180814027786255, 0.0)
+    assert cfg.norm_scale == 0.9
+    assert cfg.image_normalization_method == "0_255_to_0_1"

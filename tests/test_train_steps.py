@@ -1,0 +1,178 @@
+"""Training-step parity and data-parallel equivalence tests.
+
+The strongest gate here: 3 full optimizer steps (Adam + L2-into-grad +
+EMA ramp + batch-norm stat updates) must track a torch implementation of
+the reference training semantics parameter-for-parameter.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gelslim_depth_tpu.models import UNetConfig
+from gelslim_depth_tpu.models.torch_import import (
+    import_torch_state_dict,
+    export_torch_state_dict,
+)
+from gelslim_depth_tpu.train import (
+    create_train_state,
+    ema_init,
+    ema_update,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from gelslim_depth_tpu.train.steps import TrainState
+from tests.torch_fixture import make_state_dict, torch_train_steps
+
+DIMS = (8, 16)
+CFG = UNetConfig(layer_dimensions=DIMS)
+
+
+def make_batches(rng, n, bs=4, hw=(16, 24)):
+    return [
+        (
+            rng.uniform(0, 1, (bs, 3, *hw)).astype(np.float32),
+            rng.uniform(-0.9, 0, (bs, 1, *hw)).astype(np.float32),
+        )
+        for _ in range(n)
+    ]
+
+
+def test_three_step_training_parity_vs_torch(rng):
+    sd = make_state_dict(rng, DIMS)
+    batches = make_batches(rng, 5)
+    t_losses, t_params, t_shadow = torch_train_steps(sd, batches, DIMS, n_steps=5)
+
+    params, stats = import_torch_state_dict(sd, CFG)
+    opt = make_optimizer(1e-3, 1e-6)
+    state = TrainState(
+        params=params,
+        batch_stats=stats,
+        opt_state=opt.init(params),
+        ema=ema_init(params, 0.995),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step = jax.jit(make_train_step(CFG, opt))
+    j_losses = []
+    for x, y in batches:
+        state, loss = step(state, jnp.asarray(x), jnp.asarray(y))
+        j_losses.append(float(loss))
+    np.testing.assert_allclose(j_losses, t_losses, rtol=1e-4, atol=1e-6)
+
+    got_sd = export_torch_state_dict(state.params, state.batch_stats, CFG)
+    for k in t_params:
+        np.testing.assert_allclose(
+            got_sd[k], t_params[k], rtol=5e-3, atol=2e-3, err_msg=f"param {k} diverged"
+        )
+    got_ema = export_torch_state_dict(state.ema.shadow, state.batch_stats, CFG)
+    for k in t_shadow:
+        np.testing.assert_allclose(
+            got_ema[k], t_shadow[k], rtol=5e-3, atol=2e-3, err_msg=f"ema {k} diverged"
+        )
+
+
+def test_nan_batch_skips_update(rng):
+    sd = make_state_dict(rng, DIMS)
+    params, stats = import_torch_state_dict(sd, CFG)
+    opt = make_optimizer()
+    state = TrainState(params, stats, opt.init(params), ema_init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(CFG, opt))
+    x = np.full((2, 3, 16, 24), np.nan, np.float32)
+    y = np.zeros((2, 1, 16, 24), np.float32)
+    new_state, loss = step(state, jnp.asarray(x), jnp.asarray(y))
+    assert float(loss) == 0.0
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["inc"]["conv1_w"]), np.asarray(params["inc"]["conv1_w"])
+    )
+    assert int(new_state.step) == 1
+
+
+def test_eval_step_uses_ema_params(rng):
+    sd = make_state_dict(rng, DIMS)
+    params, stats = import_torch_state_dict(sd, CFG)
+    zeroed = jax.tree_util.tree_map(jnp.zeros_like, params)
+    state = TrainState(zeroed, stats, None, ema_init(params), jnp.zeros((), jnp.int32))
+    x, y = make_batches(rng, 1)[0]
+    ema_loss = float(make_eval_step(CFG, use_ema=True)(state, jnp.asarray(x), jnp.asarray(y)))
+    raw_loss = float(make_eval_step(CFG, use_ema=False)(state, jnp.asarray(x), jnp.asarray(y)))
+    assert ema_loss != raw_loss  # shadow params differ from (zeroed) live params
+
+
+def test_ema_ramp():
+    p = {"w": jnp.ones(3)}
+    st = ema_init(p, decay=0.995)
+    st = ema_update(st, {"w": jnp.zeros(3)})
+    # first update: d = min(0.995, 2/11); shadow = 1 - (1-d)*1 = d
+    np.testing.assert_allclose(np.asarray(st.shadow["w"]), 2.0 / 11.0, rtol=1e-6)
+    assert int(st.num_updates) == 1
+
+
+def test_create_train_state_reinit():
+    opt = make_optimizer()
+    st = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    w = np.asarray(st.params["inc"]["conv1_w"]).ravel()
+    assert abs(w.std() - 0.01) < 0.005
+    # EMA starts as a copy of params
+    np.testing.assert_array_equal(
+        np.asarray(st.ema.shadow["inc"]["conv1_w"]), np.asarray(st.params["inc"]["conv1_w"])
+    )
+
+
+class TestDataParallel:
+    def test_dp_matches_single_device(self, rng):
+        from gelslim_depth_tpu.parallel import make_mesh, make_dp_train_step, replicate, shard_batch
+
+        assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+        sd = make_state_dict(rng, DIMS)
+        params, stats = import_torch_state_dict(sd, CFG)
+        opt = make_optimizer()
+
+        def fresh_state():
+            return TrainState(params, stats, opt.init(params), ema_init(params), jnp.zeros((), jnp.int32))
+
+        batches = make_batches(rng, 2, bs=8)
+
+        single = jax.jit(make_train_step(CFG, opt))
+        s_state = fresh_state()
+        s_losses = []
+        for x, y in batches:
+            s_state, l = single(s_state, jnp.asarray(x), jnp.asarray(y))
+            s_losses.append(float(l))
+
+        mesh = make_mesh(8)
+        dp = make_dp_train_step(CFG, opt, mesh, donate=False)
+        d_state = replicate(mesh, fresh_state())
+        d_losses = []
+        for x, y in batches:
+            xs = shard_batch(mesh, jnp.asarray(x))
+            ys = shard_batch(mesh, jnp.asarray(y))
+            d_state, l = dp(d_state, xs, ys)
+            d_losses.append(float(l))
+
+        np.testing.assert_allclose(d_losses, s_losses, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(d_state.params["inc"]["conv1_w"]),
+            np.asarray(s_state.params["inc"]["conv1_w"]),
+            rtol=1e-4, atol=1e-6,
+        )
+        # global batch norm: running stats must match single-device exactly
+        np.testing.assert_allclose(
+            np.asarray(d_state.batch_stats["inc"]["bn1_mean"]),
+            np.asarray(s_state.batch_stats["inc"]["bn1_mean"]),
+            rtol=1e-4, atol=1e-6,
+        )
+
+    def test_dp_predict(self, rng):
+        from gelslim_depth_tpu.parallel import make_mesh, make_dp_predict, replicate, shard_batch
+        from gelslim_depth_tpu.models.unet import unet_apply
+
+        sd = make_state_dict(rng, DIMS)
+        params, stats = import_torch_state_dict(sd, CFG)
+        mesh = make_mesh(8)
+        predict = make_dp_predict(CFG, mesh)
+        x = rng.uniform(0, 1, (16, 3, 16, 24)).astype(np.float32)
+        got = predict(replicate(mesh, params), replicate(mesh, stats), shard_batch(mesh, jnp.asarray(x)))
+        want, _ = unet_apply(CFG, params, stats, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)

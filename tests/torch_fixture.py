@@ -44,6 +44,68 @@ def make_state_dict(rng: np.random.RandomState, dims=(8, 16, 32), n_channels=3, 
     return sd
 
 
+def torch_train_steps(sd, batches, dims=(8, 16, 32), lr=1e-3, wd=1e-6, n_steps=3, ema_decay=0.995):
+    """Reference training-loop semantics in torch: Adam(lr, weight_decay)
+    with L2-into-grad, MSE loss, torch_ema-style EMA (num_updates ramp)
+    updated after each optimizer step. Returns (losses, params, ema_shadow)
+    as numpy dicts. `batches` yields (images, targets) numpy pairs."""
+    t = {}
+    for k, v in sd.items():
+        tensor = torch.from_numpy(np.array(v))
+        t[k] = tensor.requires_grad_(True) if "running_" not in k else tensor
+
+    trainable = {k: v for k, v in t.items() if "running_" not in k}
+    opt = torch.optim.Adam(trainable.values(), lr=lr, weight_decay=wd)
+    shadow = {k: v.detach().clone() for k, v in trainable.items()}
+    losses, n_updates = [], 0
+    for step in range(n_steps):
+        x_np, y_np = batches[step]
+        pred = _forward(t, torch.from_numpy(x_np), dims, 2, 2, train=True)
+        loss = ((pred - torch.from_numpy(y_np)) ** 2).mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        n_updates += 1
+        d = min(ema_decay, (1 + n_updates) / (10 + n_updates))
+        with torch.no_grad():
+            for k in shadow:
+                shadow[k] -= (1 - d) * (shadow[k] - trainable[k])
+        losses.append(loss.item())
+    params = {k: v.detach().numpy() for k, v in t.items()}
+    return losses, params, {k: v.numpy() for k, v in shadow.items()}
+
+
+def _forward(t, x, dims, maxpool, upconv_stride, train):
+    """Differentiable functional forward over tensor dict `t` (same spec as
+    torch_unet_forward but without no_grad, for training parity tests)."""
+
+    def dcv(prefix, h):
+        h = F.conv2d(h, t[f"{prefix}.0.weight"], padding=1)
+        h = F.batch_norm(
+            h, t[f"{prefix}.1.running_mean"], t[f"{prefix}.1.running_var"],
+            t[f"{prefix}.1.weight"], t[f"{prefix}.1.bias"], training=train, momentum=0.1, eps=1e-5,
+        )
+        h = F.relu(h)
+        h = F.conv2d(h, t[f"{prefix}.3.weight"], padding=1)
+        h = F.batch_norm(
+            h, t[f"{prefix}.4.running_mean"], t[f"{prefix}.4.running_var"],
+            t[f"{prefix}.4.weight"], t[f"{prefix}.4.bias"], training=train, momentum=0.1, eps=1e-5,
+        )
+        return F.relu(h)
+
+    skips = [dcv("inc.double_conv", x)]
+    for i in range(len(dims) - 1):
+        skips.append(dcv(f"down.{i}.maxpool_conv.1.double_conv", F.max_pool2d(skips[-1], maxpool)))
+    h = skips[-1]
+    for j in range(len(dims) - 1):
+        skip = skips[-2 - j]
+        h = F.conv_transpose2d(h, t[f"up.{j}.up.weight"], t[f"up.{j}.up.bias"], stride=upconv_stride)
+        dy, dx = skip.shape[2] - h.shape[2], skip.shape[3] - h.shape[3]
+        h = F.pad(h, [dx // 2, dx - dx // 2, dy // 2, dy - dy // 2])
+        h = dcv(f"up.{j}.conv.double_conv", torch.cat([skip, h], dim=1))
+    return F.conv2d(h, t["outc.conv.weight"], t["outc.conv.bias"])
+
+
 def torch_unet_forward(sd, x_np, dims=(8, 16, 32), maxpool=2, upconv_stride=2, train=False):
     """Functional forward over a reference-layout state_dict.
 

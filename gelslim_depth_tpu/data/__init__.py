@@ -1,0 +1,4 @@
+from gelslim_depth_tpu.data.pt_io import load_pt, save_pt
+from gelslim_depth_tpu.data.dataset import BakedDataset, bake_dataset, BatchIterator
+
+__all__ = ["load_pt", "save_pt", "BakedDataset", "bake_dataset", "BatchIterator"]

@@ -55,19 +55,21 @@ def make_dp_train_step(
     compute_dtype=jnp.float32,
     channels_last: bool = False,
     donate: bool = True,
+    masked: bool = False,
 ):
     """Jitted DP train step: state replicated, batch sharded on its leading
-    axis. Returns step(state, images, targets) -> (state, loss)."""
+    axis. Returns step(state, images, targets[, valid_mask]) ->
+    (state, loss). masked=True enables static-shape padded tail batches."""
     base = make_train_step(
-        unet_cfg, optimizer, compute_dtype=compute_dtype, channels_last=channels_last
+        unet_cfg, optimizer, compute_dtype=compute_dtype, channels_last=channels_last, masked=masked
     )
     repl = NamedSharding(mesh, P())
-    batched = NamedSharding(
-        mesh, P(axis_name, *([None] * 3))
-    )
+    batched = NamedSharding(mesh, P(axis_name, None, None, None))
+    masksh = NamedSharding(mesh, P(axis_name))
+    in_sh = (repl, batched, batched) + ((masksh,) if masked else ())
     return jax.jit(
         base,
-        in_shardings=(repl, batched, batched),
+        in_shardings=in_sh,
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )
@@ -81,13 +83,16 @@ def make_dp_eval_step(
     use_ema: bool = True,
     compute_dtype=jnp.float32,
     channels_last: bool = False,
+    masked: bool = False,
 ):
     base = make_eval_step(
-        unet_cfg, use_ema=use_ema, compute_dtype=compute_dtype, channels_last=channels_last
+        unet_cfg, use_ema=use_ema, compute_dtype=compute_dtype, channels_last=channels_last, masked=masked
     )
     repl = NamedSharding(mesh, P())
     batched = NamedSharding(mesh, P(axis_name, None, None, None))
-    return jax.jit(base, in_shardings=(repl, batched, batched), out_shardings=repl)
+    masksh = NamedSharding(mesh, P(axis_name))
+    in_sh = (repl, batched, batched) + ((masksh,) if masked else ())
+    return jax.jit(base, in_shardings=in_sh, out_shardings=repl)
 
 
 def make_dp_predict(

@@ -1,4 +1,10 @@
 from gelslim_depth_tpu.train.ema import EmaState, ema_init, ema_update
+from gelslim_depth_tpu.train.checkpoint import (
+    save_weights,
+    load_checkpoint,
+    save_train_state,
+    load_train_state,
+)
 from gelslim_depth_tpu.train.steps import (
     TrainState,
     create_train_state,
@@ -9,6 +15,10 @@ from gelslim_depth_tpu.train.steps import (
 )
 
 __all__ = [
+    "save_weights",
+    "load_checkpoint",
+    "save_train_state",
+    "load_train_state",
     "EmaState",
     "ema_init",
     "ema_update",
@@ -19,3 +29,7 @@ __all__ = [
     "make_eval_step",
     "mse_loss",
 ]
+
+from gelslim_depth_tpu.train.loop import Trainer  # noqa: E402  (after submodules)
+
+__all__.append("Trainer")

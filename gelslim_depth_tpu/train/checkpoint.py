@@ -1,0 +1,146 @@
+"""Checkpointing: weights + frozen config artifacts, plus full-state resume.
+
+The reference saves only the EMA-averaged model weights at each new best
+validation loss (`torch.save(unet.state_dict())`, ref train_unet.py:476-484)
+and pairs them with a generated config .py; optimizer/EMA state is lost, so
+"resume" means fine-tuning from weights (:239-244). This rebuild keeps that
+weight+config contract (including emitting the reference-format .py and a
+torch-loadable .pth via the exporter) AND adds true train-state resume
+(params + Adam moments + EMA shadow + step + batch stats) for preemption
+recovery — the aux subsystem the reference lacks (SURVEY.md section 5.3/5.4).
+
+Format: flat np.savez keyed by pytree paths — dependency-free and stable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gelslim_depth_tpu.config import GelslimConfig
+from gelslim_depth_tpu.models.unet import UNetConfig
+from gelslim_depth_tpu.train.ema import EmaState
+from gelslim_depth_tpu.train.steps import TrainState
+
+
+def _flatten(tree, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = prefix + "/".join(
+            str(p.key) if hasattr(p, "key") else str(getattr(p, "idx", p)) for p in path
+        )
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def _unflatten_like(template, flat: Dict[str, np.ndarray], prefix: str = ""):
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(template)[0]
+    treedef = jax.tree_util.tree_structure(template)
+    leaves = []
+    for path, leaf in leaves_with_paths:
+        key = prefix + "/".join(
+            str(p.key) if hasattr(p, "key") else str(getattr(p, "idx", p)) for p in path
+        )
+        arr = flat[key]
+        leaves.append(jnp.asarray(arr.reshape(np.shape(leaf))))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_weights(
+    ckpt_dir: str,
+    config: GelslimConfig,
+    params,
+    batch_stats,
+    *,
+    name: str = None,
+    emit_torch_pth: bool = True,
+    emit_python_config: bool = True,
+) -> str:
+    """The reference's checkpoint unit: weights + frozen config. Writes
+    <dir>/<name>.npz, <name>.json, optionally config_<name>.py and a
+    torch-loadable <name>.pth."""
+    name = name or config.weights_name
+    os.makedirs(ckpt_dir, exist_ok=True)
+    flat = {}
+    flat.update(_flatten(params, "params/"))
+    flat.update(_flatten(batch_stats, "batch_stats/"))
+    np.savez(os.path.join(ckpt_dir, f"{name}.npz"), **flat)
+    config.save_json(os.path.join(ckpt_dir, f"{name}.json"))
+    if emit_python_config:
+        config.emit_python_config(os.path.join(ckpt_dir, f"config_{name}.py"))
+    if emit_torch_pth:
+        try:
+            import torch
+
+            from gelslim_depth_tpu.models.torch_import import export_torch_state_dict
+
+            sd = export_torch_state_dict(params, batch_stats, config.unet_config())
+            torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+                       os.path.join(ckpt_dir, f"{name}.pth"))
+        except ImportError:
+            pass
+    return os.path.join(ckpt_dir, f"{name}.npz")
+
+
+def load_checkpoint(ckpt_dir: str, name: str = None) -> Tuple[GelslimConfig, Any, Any]:
+    """Load (config, params, batch_stats) from a save_weights directory."""
+    if name is None:
+        cands = [f[:-5] for f in os.listdir(ckpt_dir) if f.endswith(".json") and not f.endswith("state.json")]
+        assert len(cands) == 1, f"ambiguous checkpoint dir {ckpt_dir}: {cands}; pass name="
+        name = cands[0]
+    config = GelslimConfig.from_json(os.path.join(ckpt_dir, f"{name}.json"))
+    from gelslim_depth_tpu.models.unet import init_unet
+
+    template_p, template_s = init_unet(jax.random.PRNGKey(0), config.unet_config())
+    flat = dict(np.load(os.path.join(ckpt_dir, f"{name}.npz")))
+    params = _unflatten_like(template_p, flat, "params/")
+    stats = _unflatten_like(template_s, flat, "batch_stats/")
+    return config, params, stats
+
+
+def save_train_state(ckpt_dir: str, state: TrainState, *, name: str = "train_state") -> str:
+    """Full resumable state (params, batch stats, Adam moments, EMA, step)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    flat = _flatten(
+        {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "ema_shadow": state.ema.shadow,
+        }
+    )
+    flat["__num_updates"] = np.asarray(state.ema.num_updates)
+    flat["__ema_decay"] = np.asarray(state.ema.decay)
+    flat["__step"] = np.asarray(state.step)
+    path = os.path.join(ckpt_dir, f"{name}.npz")
+    np.savez(path, **flat)
+    return path
+
+
+def load_train_state(ckpt_dir: str, template: TrainState, *, name: str = "train_state") -> TrainState:
+    flat = dict(np.load(os.path.join(ckpt_dir, f"{name}.npz")))
+    tree = _unflatten_like(
+        {
+            "params": template.params,
+            "batch_stats": template.batch_stats,
+            "opt_state": template.opt_state,
+            "ema_shadow": template.ema.shadow,
+        },
+        flat,
+    )
+    return TrainState(
+        params=tree["params"],
+        batch_stats=tree["batch_stats"],
+        opt_state=tree["opt_state"],
+        ema=EmaState(
+            shadow=tree["ema_shadow"],
+            num_updates=jnp.asarray(flat["__num_updates"]),
+            decay=float(flat["__ema_decay"]),
+        ),
+        step=jnp.asarray(flat["__step"]),
+    )

@@ -1,0 +1,328 @@
+"""The training loop: epochs, early stopping, checkpoint policy, logging.
+
+Functional rebuild of the reference's module-level training script
+(ref train_utils/train_unet.py:306-523) with the same observable policy:
+
+- per-epoch: full train pass, then val + test passes under EMA params.
+- early stop: a sliding window (val_loss_SMA_window=10) simple moving
+  average of validation loss; if the SMA rises relative to the previous
+  epoch's SMA for more than validation_loss_count_threshold=5 consecutive
+  epochs, stop — unless train_indefinitely, which only announces it
+  (:316-322, 459-475). Reference quirk preserved: the window initializes
+  to zeros, so while it fills the SMA monotonically rises and the counter
+  trips at epoch threshold+1 for any positive loss — i.e. without
+  train_indefinitely the reference stops after 6 epochs unconditionally,
+  which is why the published unet_bigdata run used train_indefinitely
+  (config_unet_bigdata.py:14).
+- checkpoints: EMA weights + frozen config at every new *raw* validation
+  loss minimum (:476-484); epoch-pinned snapshots at save_at_epochs when
+  train_indefinitely (:485-490). Additionally (new here): full train-state
+  checkpoints for preemption resume.
+- logging: append-only text file with the reference's exact line format
+  (:324, 491-498) plus optional matplotlib loss curves / sample triptychs.
+- timing/profiling: per-epoch wall time like the reference, plus optional
+  jax.profiler trace capture for the first train epoch (new).
+
+Data-parallel: pass a Mesh and the loop runs the sharded step with
+static-shape padded tail batches (masked loss) — state replicated, batch
+sharded, collectives inserted by XLA.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gelslim_depth_tpu.config import GelslimConfig
+from gelslim_depth_tpu.data.dataset import BakedDataset, BatchIterator
+from gelslim_depth_tpu.train import checkpoint as ckpt
+from gelslim_depth_tpu.train.steps import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: GelslimConfig,
+        train_ds: BakedDataset,
+        val_ds: BakedDataset,
+        test_ds: BakedDataset,
+        *,
+        output_dir: str = "train_output",
+        mesh=None,
+        compute_dtype=jnp.float32,
+        seed: int = 0,
+        starting_weights=None,  # (params, batch_stats) for fine-tuning
+        log_fn: Callable[[str], None] = print,
+        enable_plots: bool = True,
+        profile_first_epoch: bool = False,
+    ):
+        self.config = config
+        self.unet_cfg = config.unet_config()
+        self.train_ds, self.val_ds, self.test_ds = train_ds, val_ds, test_ds
+        self.output_dir = output_dir
+        self.mesh = mesh
+        self.compute_dtype = compute_dtype
+        self.log_fn = log_fn
+        self.enable_plots = enable_plots
+        self.profile_first_epoch = profile_first_epoch
+
+        self.weights_dir = os.path.join(output_dir, "weights")
+        self.loss_values_path = os.path.join(output_dir, "loss_values")
+        self.loss_curve_dir = os.path.join(output_dir, "loss_curves")
+        self.live_display_dir = os.path.join(output_dir, "live_display")
+        for d in (self.weights_dir, self.loss_values_path, self.loss_curve_dir, self.live_display_dir):
+            os.makedirs(d, exist_ok=True)
+        self.loss_file = os.path.join(self.loss_values_path, f"{config.weights_name}.txt")
+
+        self.optimizer = make_optimizer(config.training_learning_rate, config.weight_decay)
+        key = jax.random.PRNGKey(seed)
+        if starting_weights is not None:
+            params, stats = starting_weights
+            self.state = create_train_state(
+                key, self.unet_cfg, self.optimizer, params=params, batch_stats=stats
+            )
+        else:
+            self.state = create_train_state(key, self.unet_cfg, self.optimizer)
+
+        if mesh is not None:
+            from gelslim_depth_tpu.parallel import make_dp_train_step, make_dp_eval_step, replicate
+
+            self.n_shard = mesh.devices.size
+            self._train_step = make_dp_train_step(
+                self.unet_cfg, self.optimizer, mesh, compute_dtype=compute_dtype, masked=True, donate=True
+            )
+            self._eval_step = make_dp_eval_step(
+                self.unet_cfg, mesh, compute_dtype=compute_dtype, masked=True
+            )
+            self.state = replicate(mesh, self.state)
+        else:
+            self.n_shard = None
+            self._train_step = jax.jit(
+                make_train_step(self.unet_cfg, self.optimizer, compute_dtype=compute_dtype),
+                donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(
+                make_eval_step(self.unet_cfg, compute_dtype=compute_dtype)
+            )
+
+        # freeze the *learned* preprocessing state into the config artifact,
+        # exactly what makes the reference's generated configs reproducible
+        # (ref train_unet.py:208-216, 288-291)
+        config.depth_normalization_parameters = tuple(train_ds.depth_normalization_parameters)
+        config.image_normalization_parameters = tuple(
+            tuple(p) for p in train_ds.image_normalization_parameters
+        )
+        config.input_tactile_image_size = tuple(train_ds.input_tactile_image_size)
+
+        self.history: Dict[str, List[float]] = {"train_loss": [], "validation_loss": [], "test_loss": []}
+        self.min_validation_loss = float("inf")
+        self._val_window = np.zeros(config.val_loss_SMA_window)
+        self._prev_sma = 0.0
+        self._upward_counter = 0
+        self.epoch = 0
+
+        # write the frozen config artifacts up front, like the reference
+        # writing config_<name>.py before training starts (:253-303)
+        config.save_json(os.path.join(self.weights_dir, f"{config.weights_name}.json"))
+        config.emit_python_config(
+            os.path.join(self.weights_dir, f"config_{config.weights_name}.py")
+        )
+
+    # ------------------------------------------------------------------
+    def _log(self, msg: str):
+        self.log_fn(msg)
+        with open(self.loss_file, "a") as f:
+            f.write(msg + "\n")
+
+    def _shard(self, *arrays):
+        from gelslim_depth_tpu.parallel import shard_batch
+
+        return tuple(shard_batch(self.mesh, a) for a in arrays)
+
+    def _train_epoch(self, seed: int) -> float:
+        total, n = 0.0, 0
+        if self.mesh is not None:
+            it = BatchIterator(self.train_ds, self.config.batch_size, shuffle=True, seed=seed)
+            for img, dep, mask in it.padded_epoch(pad_to_multiple_of=self.n_shard):
+                img, dep, mask = self._shard(img, dep, mask)
+                self.state, loss = self._train_step(self.state, img, dep, mask)
+                total += float(loss)
+                n += 1
+        else:
+            it = BatchIterator(self.train_ds, self.config.batch_size, shuffle=True, seed=seed)
+            for img, dep, _ in it.epoch():
+                self.state, loss = self._train_step(self.state, img, dep)
+                total += float(loss)
+                n += 1
+        return total / max(n, 1)
+
+    def _eval_epoch(self, ds: BakedDataset, seed: int) -> float:
+        total, n = 0.0, 0
+        it = BatchIterator(ds, self.config.batch_size, shuffle=True, seed=seed)
+        if self.mesh is not None:
+            for img, dep, mask in it.padded_epoch(pad_to_multiple_of=self.n_shard):
+                img, dep, mask = self._shard(img, dep, mask)
+                total += float(self._eval_step(self.state, img, dep, mask))
+                n += 1
+        else:
+            for img, dep, _ in it.epoch():
+                total += float(self._eval_step(self.state, img, dep))
+                n += 1
+        return total / max(n, 1)
+
+    def _save_best(self):
+        self._log("Validation loss is at a minimum. Saving the model")
+        ckpt.save_weights(
+            self.weights_dir, self.config,
+            jax.device_get(self.state.ema.shadow),
+            jax.device_get(self.state.batch_stats),
+        )
+
+    # ------------------------------------------------------------------
+    def fit(self, max_epochs: Optional[int] = None) -> Dict[str, List[float]]:
+        cfg = self.config
+        start = time.time()
+        stop = False
+        while not stop:
+            t0 = time.time()
+            if self.profile_first_epoch and self.epoch == 0:
+                jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
+            train_loss = self._train_epoch(seed=1000 + self.epoch)
+            if self.profile_first_epoch and self.epoch == 0:
+                jax.profiler.stop_trace()
+            val_loss = self._eval_epoch(self.val_ds, seed=2000 + self.epoch)
+            test_loss = self._eval_epoch(self.test_ds, seed=3000 + self.epoch)
+
+            self.history["train_loss"].append(train_loss)
+            self.history["validation_loss"].append(val_loss)
+            self.history["test_loss"].append(test_loss)
+
+            # SMA early-stop bookkeeping (ref :459-475)
+            self._val_window[self.epoch % cfg.val_loss_SMA_window] = val_loss
+            sma = float(self._val_window.mean())
+            if sma > self._prev_sma:
+                self._upward_counter += 1
+            else:
+                self._upward_counter = 0
+            if self._upward_counter > cfg.validation_loss_count_threshold:
+                if cfg.train_indefinitely:
+                    msg = f"Validation loss stopped decreasing at epoch {self.epoch + 1}"
+                    self._log(msg)
+                else:
+                    stop = True
+            self._prev_sma = sma
+
+            if val_loss < self.min_validation_loss:
+                self._save_best()
+                self.min_validation_loss = val_loss
+
+            if cfg.train_indefinitely and self.epoch in cfg.save_at_epochs:
+                ckpt.save_weights(
+                    self.weights_dir, self.config,
+                    jax.device_get(self.state.ema.shadow),
+                    jax.device_get(self.state.batch_stats),
+                    name=f"{cfg.weights_name}_epoch{self.epoch}",
+                )
+
+            self._log(f"[INFO] EPOCH: {self.epoch + 1}")
+            self._log(
+                "Train loss: {:.6f},  Validation loss: {:.6f}, Test loss: {:.6f}".format(
+                    train_loss, val_loss, test_loss
+                )
+            )
+            self._log(f"Time for epoch: {time.time() - t0}")
+
+            if self.enable_plots and (self.epoch % max(cfg.plot_every_epoch, 1) == 0):
+                self._plot_curves()
+                self._plot_samples()
+
+            self.epoch += 1
+            if max_epochs is not None and self.epoch >= max_epochs:
+                stop = True
+
+        self._log("Training complete")
+        self._log(f"Training time: {time.time() - start}s")
+        return self.history
+
+    # ------------------------------------------------------------------
+    def save_resume_state(self, name: str = "train_state") -> str:
+        return ckpt.save_train_state(self.weights_dir, jax.device_get(self.state), name=name)
+
+    def load_resume_state(self, name: str = "train_state"):
+        self.state = ckpt.load_train_state(self.weights_dir, jax.device_get(self.state), name=name)
+        if self.mesh is not None:
+            from gelslim_depth_tpu.parallel import replicate
+
+            self.state = replicate(self.mesh, self.state)
+
+    # ------------------------------------------------------------------
+    def _plot_curves(self):
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return
+        plt.figure()
+        for k, label in (("train_loss", "train_loss"), ("validation_loss", "validation_loss"), ("test_loss", "test_loss")):
+            plt.plot(self.history[k], label=label)
+        plt.xlabel("Epoch")
+        plt.ylabel("Loss")
+        plt.legend(loc="upper right")
+        plt.yscale("log")
+        plt.savefig(os.path.join(self.loss_curve_dir, f"{self.config.weights_name}.png"))
+        plt.close()
+
+    def _plot_samples(self):
+        """Live triptych (input / prediction / ground truth) per split
+        (ref :326-328, 348-369)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return
+        from gelslim_depth_tpu.models.unet import unet_apply
+
+        k = min(self.config.num_images_to_display_live, len(self.val_ds))
+        if k == 0:
+            return
+        rng = np.random.RandomState(self.epoch)
+        for split_name, ds in (("train", self.train_ds), ("validation", self.val_ds), ("test", self.test_ds)):
+            idx = rng.choice(len(ds), size=min(k, len(ds)), replace=False)
+            img = jnp.take(ds.tactile_image, jnp.asarray(idx), axis=0)
+            dep = jnp.take(ds.depth_image, jnp.asarray(idx), axis=0)
+            params = jax.device_get(self.state.ema.shadow)
+            stats = jax.device_get(self.state.batch_stats)
+            pred, _ = unet_apply(self.unet_cfg, params, stats, img)
+            fig, axes = plt.subplots(len(idx), 3, figsize=(10, 10), squeeze=False)
+            for r in range(len(idx)):
+                axes[r, 0].imshow(
+                    np.clip(np.asarray(img[r]).transpose(1, 2, 0) * 255.0, 0, 255).astype(np.uint8)
+                )
+                axes[r, 1].imshow(np.asarray(pred[r, 0]))
+                axes[r, 2].imshow(np.asarray(dep[r, 0]))
+                for c in range(3):
+                    axes[r, c].set_xticks([])
+                    axes[r, c].set_yticks([])
+            axes[0, 0].set_title("Input")
+            axes[0, 1].set_title("Output")
+            axes[0, 2].set_title("Ground Truth")
+            fig.suptitle(f"Epoch {self.epoch + 1} {split_name.capitalize()} Images")
+            fig.savefig(
+                os.path.join(self.live_display_dir, f"{self.config.weights_name}_{split_name}_images.png")
+            )
+            plt.close(fig)

@@ -26,8 +26,15 @@ from gelslim_depth_tpu.models.unet import UNetConfig, init_unet, unet_apply
 from gelslim_depth_tpu.train.ema import EmaState, ema_init, ema_update
 
 
-def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean(jnp.square(pred - target))
+def mse_loss(pred: jnp.ndarray, target: jnp.ndarray, valid_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """MSE over all elements; with a per-sample valid_mask (bool, (N,)),
+    padded samples are excluded (used by the DP trainer's static-shape
+    padded tail batches)."""
+    if valid_mask is None:
+        return jnp.mean(jnp.square(pred - target))
+    per_sample = jnp.mean(jnp.square(pred - target), axis=tuple(range(1, pred.ndim)))
+    m = valid_mask.astype(per_sample.dtype)
+    return jnp.sum(per_sample * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
 class TrainState(NamedTuple):
@@ -82,20 +89,25 @@ def make_train_step(
     *,
     compute_dtype=jnp.float32,
     channels_last: bool = False,
-) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], Tuple[TrainState, jnp.ndarray]]:
-    """Returns step(state, images, targets) -> (state, loss). Pure; jit (or
-    shard_map over a mesh) at the call site."""
+    masked: bool = False,
+) -> Callable[..., Tuple[TrainState, jnp.ndarray]]:
+    """Returns step(state, images, targets[, valid_mask]) -> (state, loss).
+    Pure; jit (or shard over a mesh) at the call site. With masked=True the
+    step takes a per-sample bool mask so padded static-shape batches
+    contribute no loss (note: padded samples still enter batch-norm
+    statistics — pad by repeating real samples, not zeros)."""
 
-    def loss_fn(params, batch_stats, images, targets):
+    def loss_fn(params, batch_stats, images, targets, valid_mask):
         pred, new_stats = unet_apply(
             unet_cfg, params, batch_stats, images,
             train=True, compute_dtype=compute_dtype, channels_last=channels_last,
         )
-        return mse_loss(pred, targets), new_stats
+        return mse_loss(pred, targets, valid_mask), new_stats
 
-    def step(state: TrainState, images: jnp.ndarray, targets: jnp.ndarray):
+    def step(state: TrainState, images: jnp.ndarray, targets: jnp.ndarray, valid_mask=None):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, images, targets
+            state.params, state.batch_stats, images, targets,
+            valid_mask if masked else None,
         )
         bad = jnp.logical_not(jnp.isfinite(loss))
 
@@ -125,18 +137,19 @@ def make_eval_step(
     use_ema: bool = True,
     compute_dtype=jnp.float32,
     channels_last: bool = False,
-) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], jnp.ndarray]:
-    """Returns eval(state, images, targets) -> loss, run under the EMA
-    shadow params by default (the reference validates/tests under
+    masked: bool = False,
+) -> Callable[..., jnp.ndarray]:
+    """Returns eval(state, images, targets[, valid_mask]) -> loss, run under
+    the EMA shadow params by default (the reference validates/tests under
     ema.average_parameters(); train_unet.py:389,428)."""
 
-    def step(state: TrainState, images: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    def step(state: TrainState, images: jnp.ndarray, targets: jnp.ndarray, valid_mask=None) -> jnp.ndarray:
         params = state.ema.shadow if use_ema else state.params
         pred, _ = unet_apply(
             unet_cfg, params, state.batch_stats, images,
             train=False, compute_dtype=compute_dtype, channels_last=channels_last,
         )
-        loss = mse_loss(pred, targets)
+        loss = mse_loss(pred, targets, valid_mask if masked else None)
         return jnp.where(jnp.isfinite(loss), loss, 0.0)
 
     return step

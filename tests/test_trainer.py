@@ -1,0 +1,168 @@
+"""Trainer loop tests: learning on synthetic data, checkpoint policy,
+log format, early stopping, resume, and the DP loop."""
+
+import os
+import re
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gelslim_depth_tpu.config import GelslimConfig
+from gelslim_depth_tpu.data.dataset import bake_dataset
+from gelslim_depth_tpu.data.synthetic import make_synthetic_object
+from gelslim_depth_tpu.train import Trainer, load_checkpoint, load_train_state, save_train_state
+from gelslim_depth_tpu.inference import Predictor
+
+DIMS = (8, 16)
+
+
+def small_cfg(**kw):
+    defaults = dict(
+        weights_name="tiny",
+        CNN_dimensions=DIMS,
+        batch_size=8,
+        input_tactile_image_size=(16, 21),
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        norm_scale=0.9,
+        use_difference_image=True,
+        # NB: the reference's zero-initialized SMA window means the upward
+        # counter trips at epoch threshold+1 regardless of the losses (see
+        # train/loop.py docstring), so short learning tests need a high
+        # threshold or train_indefinitely
+        val_loss_SMA_window=3,
+        validation_loss_count_threshold=20,
+    )
+    defaults.update(kw)
+    return GelslimConfig(**defaults)
+
+
+@pytest.fixture(scope="module")
+def datasets():
+    rng = np.random.RandomState(0)
+    objs = [make_synthetic_object(rng, n=8, image_size=(32, 43)) for _ in range(2)]
+    train = bake_dataset(
+        preloaded=objs, use_difference_image=True,
+        image_normalization_method="0_255_to_0_1", norm_scale=0.9,
+    )
+    val_objs = [make_synthetic_object(rng, n=4, image_size=(32, 43))]
+    val = bake_dataset(
+        preloaded=val_objs, use_difference_image=True,
+        image_normalization_method="0_255_to_0_1", norm_scale=0.9,
+        depth_normalization_parameters=train.depth_normalization_parameters,
+        image_normalization_parameters=train.image_normalization_parameters,
+    )
+    return train, val
+
+
+def test_trainer_learns_and_checkpoints(tmp_path, datasets):
+    train, val = datasets
+    cfg = small_cfg(training_learning_rate=3e-3)
+    tr = Trainer(cfg, train, val, val, output_dir=str(tmp_path), enable_plots=False, seed=0)
+    hist = tr.fit(max_epochs=20)
+    assert len(hist["train_loss"]) == 20
+    # learns: synthetic blobs are easy, loss must drop substantially
+    assert hist["train_loss"][-1] < 0.5 * hist["train_loss"][0]
+
+    # best-val checkpoint exists and reloads into a working Predictor
+    wdir = os.path.join(str(tmp_path), "weights")
+    assert os.path.exists(os.path.join(wdir, "tiny.npz"))
+    assert os.path.exists(os.path.join(wdir, "tiny.json"))
+    assert os.path.exists(os.path.join(wdir, "config_tiny.py"))
+    cfg2, params, stats = load_checkpoint(wdir, "tiny")
+    assert cfg2.CNN_dimensions == DIMS
+    pred = Predictor(cfg2, params, stats)
+    out = pred.predict_depth_from_RGB(np.full((1, 3, 32, 43), 127.0, np.float32), (32, 43))
+    assert np.isfinite(np.asarray(out)).all()
+
+    # torch-loadable .pth was also emitted
+    import torch
+
+    sd = torch.load(os.path.join(wdir, "tiny.pth"), weights_only=False)
+    assert "inc.double_conv.0.weight" in sd
+
+    # loss log uses the reference line format
+    log = open(os.path.join(str(tmp_path), "loss_values", "tiny.txt")).read()
+    assert re.search(r"\[INFO\] EPOCH: 1\n", log)
+    assert re.search(r"Train loss: \d+\.\d{6},  Validation loss: \d+\.\d{6}, Test loss: \d+\.\d{6}", log)
+    assert "Validation loss is at a minimum. Saving the model" in log
+    assert "Time for epoch:" in log
+    assert "Training complete" in log
+
+
+def test_early_stop_counter(tmp_path, datasets):
+    """Force the stop path: a model with lr=0 never improves, so the SMA
+    rises as the window fills and the upward counter trips."""
+    train, val = datasets
+    cfg = small_cfg(training_learning_rate=0.0, val_loss_SMA_window=2, validation_loss_count_threshold=1)
+    tr = Trainer(cfg, train, val, val, output_dir=str(tmp_path), enable_plots=False)
+    hist = tr.fit(max_epochs=30)
+    assert len(hist["train_loss"]) < 30  # stopped early
+
+
+def test_train_indefinitely_does_not_stop(tmp_path, datasets):
+    train, val = datasets
+    cfg = small_cfg(training_learning_rate=0.0, val_loss_SMA_window=2,
+                    validation_loss_count_threshold=1, train_indefinitely=True,
+                    save_at_epochs=[3])
+    tr = Trainer(cfg, train, val, val, output_dir=str(tmp_path), enable_plots=False)
+    hist = tr.fit(max_epochs=6)
+    assert len(hist["train_loss"]) == 6
+    log = open(os.path.join(str(tmp_path), "loss_values", "tiny.txt")).read()
+    assert "Validation loss stopped decreasing at epoch" in log
+    # epoch-pinned snapshot
+    assert os.path.exists(os.path.join(str(tmp_path), "weights", "tiny_epoch3.npz"))
+
+
+def test_resume_roundtrip(tmp_path, datasets):
+    train, val = datasets
+    cfg = small_cfg()
+    tr = Trainer(cfg, train, val, val, output_dir=str(tmp_path), enable_plots=False, seed=3)
+    tr.fit(max_epochs=2)
+    path = tr.save_resume_state()
+    assert os.path.exists(path)
+    state_before = jax.device_get(tr.state)
+
+    tr2 = Trainer(cfg, train, val, val, output_dir=str(tmp_path), enable_plots=False, seed=99)
+    tr2.load_resume_state()
+    state_after = jax.device_get(tr2.state)
+    for a, b in zip(jax.tree_util.tree_leaves(state_before), jax.tree_util.tree_leaves(state_after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state_after.ema.num_updates) == int(state_before.ema.num_updates)
+
+
+def test_fine_tune_starting_weights(tmp_path, datasets):
+    train, val = datasets
+    cfg = small_cfg()
+    from gelslim_depth_tpu.models.unet import init_unet
+
+    params, stats = init_unet(jax.random.PRNGKey(7), cfg.unet_config())
+    tr = Trainer(cfg, train, val, val, output_dir=str(tmp_path), enable_plots=False,
+                 starting_weights=(params, stats))
+    np.testing.assert_array_equal(
+        np.asarray(tr.state.params["inc"]["conv1_w"]), np.asarray(params["inc"]["conv1_w"])
+    )
+
+
+def test_dp_trainer(tmp_path, datasets):
+    from gelslim_depth_tpu.parallel import make_mesh
+
+    train, val = datasets
+    cfg = small_cfg(batch_size=8)
+    mesh = make_mesh(4)
+    tr = Trainer(cfg, train, val, val, output_dir=str(tmp_path), enable_plots=False, mesh=mesh)
+    hist = tr.fit(max_epochs=3)
+    assert len(hist["train_loss"]) == 3
+    assert np.isfinite(hist["train_loss"]).all()
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+
+
+def test_plots_emitted(tmp_path, datasets):
+    train, val = datasets
+    cfg = small_cfg(num_images_to_display_live=2)
+    tr = Trainer(cfg, train, val, val, output_dir=str(tmp_path), enable_plots=True)
+    tr.fit(max_epochs=1)
+    assert os.path.exists(os.path.join(str(tmp_path), "loss_curves", "tiny.png"))
+    assert os.path.exists(os.path.join(str(tmp_path), "live_display", "tiny_validation_images.png"))

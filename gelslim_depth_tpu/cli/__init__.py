@@ -1,0 +1,37 @@
+"""Command-line layer mirroring the reference's five entry points
+(SURVEY.md section 1 CLI row) under one dispatcher:
+
+    python -m gelslim_depth_tpu train <weights_name> [device] [flags...]
+    python -m gelslim_depth_tpu test <weights_name> <device> <sub_dir> [objects...]
+    python -m gelslim_depth_tpu split-data [device]
+    python -m gelslim_depth_tpu generate-depth [flags...]
+    python -m gelslim_depth_tpu view <sub_dir> <data_name>
+
+The positional `device`/`gpu` argument is accepted for drop-in
+compatibility with the reference commands but ignored — device selection
+on TPU is the runtime's job, not a CLI string (ref train_unet.py:58,194).
+"""
+
+import sys
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "train":
+        from gelslim_depth_tpu.cli.train_cmd import run
+    elif cmd == "test":
+        from gelslim_depth_tpu.cli.test_cmd import run
+    elif cmd == "split-data":
+        from gelslim_depth_tpu.cli.split_cmd import run
+    elif cmd == "generate-depth":
+        from gelslim_depth_tpu.cli.generate_depth_cmd import run
+    elif cmd == "view":
+        from gelslim_depth_tpu.cli.view_cmd import run
+    else:
+        print(f"unknown command {cmd!r}\n{__doc__}")
+        return 2
+    return run(rest) or 0

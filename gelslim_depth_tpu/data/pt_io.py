@@ -155,10 +155,15 @@ def save_pt(obj: Dict[str, Any], path: str) -> None:
     try:
         import torch
 
-        torch.save(
-            {k: (torch.from_numpy(np.ascontiguousarray(v)) if isinstance(v, np.ndarray) else v) for k, v in obj.items()},
-            path,
-        )
+        def to_tensor(v):
+            if not isinstance(v, np.ndarray):
+                return v
+            a = np.ascontiguousarray(v)
+            if not a.flags.writeable:  # torch rejects non-writable views
+                a = a.copy()
+            return torch.from_numpy(a)
+
+        torch.save({k: to_tensor(v) for k, v in obj.items()}, path)
         return
     except ImportError:
         pass

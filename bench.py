@@ -45,7 +45,7 @@ def build(config, unet_cfg, batch, k, dtype):
         def body(carry, _):
             out = fused_predict_dual(
                 config, unet_cfg, params, stats, x0 + carry, base, (320, 427),
-                compute_dtype=dtype,
+                compute_dtype=dtype, use_pallas=True,
             )
             # scalar carry derived from the full output: forces each step to
             # complete before the next starts and defeats dead-code elision;
@@ -90,7 +90,7 @@ def main():
 
     K = 8
     best = (0.0, None)
-    for batch in (8, 16, 32):
+    for batch in (16, 32, 64, 128):
         try:
             x = jnp.asarray(rng.uniform(0, 255, (batch, 6, 320, 427)).astype(np.float32))
             f1 = build(config, unet_cfg, batch, K, jnp.bfloat16)

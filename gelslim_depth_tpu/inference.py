@@ -64,13 +64,42 @@ def fused_predict_dual(
     output_size: Tuple[int, int],
     *,
     compute_dtype=jnp.float32,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Full dual-GelSlim frame path: (N, 6, H, W) raw frames (left 0:3,
     right 3:6) -> per-finger difference vs base_frame (6, H, W) or (N, 6,
     H, W) -> both fingers batched through the network -> (N, 2, *output_size)
     mm depth. This is BASELINE.json config 2's "fused preprocessing +
-    inference" graph as one jit."""
+    inference" graph as one jit.
+
+    use_pallas=True routes the diff+resize+normalize front-end through the
+    single-VMEM-pass Pallas kernel (~3x the XLA-composed front-end on v5e;
+    requires a (6, H, W) shared base frame)."""
     n = frames.shape[0]
+    if use_pallas and (base_frame is None or base_frame.ndim == 3):
+        from gelslim_depth_tpu.ops.normalize import image_norm_coeffs
+        from gelslim_depth_tpu.ops.pallas import fused_preprocess_dual
+
+        scale, bias, denom = image_norm_coeffs(
+            config.image_normalization_method, config.norm_scale,
+            config.image_normalization_parameters, 3,
+        )
+        mult = (scale / denom).astype(np.float32)
+        add = (-bias * scale / denom).astype(np.float32)
+        base = base_frame if base_frame is not None else jnp.zeros_like(frames[0])
+        x = fused_preprocess_dual(
+            frames, base, mult, add,
+            out_size=config.input_tactile_image_size,
+            use_diff=bool(config.use_difference_image and base_frame is not None),
+        )
+        y, _ = unet_apply(unet_cfg, params, batch_stats, x, train=False, compute_dtype=compute_dtype)
+        y = ops.denormalize_depth_image(
+            y, config.depth_normalization_method, config.norm_scale,
+            config.depth_normalization_parameters,
+        )
+        depth = ops.resize(y, output_size, config.interp_method)
+        # pallas layout: rows [0, n) = left finger, [n, 2n) = right
+        return jnp.stack([depth[:n, 0], depth[n:, 0]], axis=1)
     fingers = frames.reshape(n, 2, 3, *frames.shape[-2:]).reshape(2 * n, 3, *frames.shape[-2:])
     if config.use_difference_image and base_frame is not None:
         base = jnp.broadcast_to(base_frame, frames.shape) if base_frame.ndim == 3 else base_frame

@@ -142,3 +142,19 @@ def test_import_shipped_reference_config():
     assert cfg.depth_normalization_parameters == (-1.9180814027786255, 0.0)
     assert cfg.norm_scale == 0.9
     assert cfg.image_normalization_method == "0_255_to_0_1"
+
+
+def test_dual_frame_pallas_path(bundle):
+    """use_pallas routes the front-end through the fused kernel
+    (interpreter off-TPU) and must match the XLA-composed path."""
+    rng, sd, cfg, pred = bundle
+    from gelslim_depth_tpu.inference import fused_predict_dual
+
+    frames = jnp.asarray(rng.uniform(0, 255, (2, 6, 80, 107)).astype(np.float32))
+    base = jnp.asarray(rng.uniform(0, 255, (6, 80, 107)).astype(np.float32))
+    a = np.asarray(
+        fused_predict_dual(cfg, cfg.unet_config(), pred.params, pred.batch_stats,
+                           frames, base, (80, 107), use_pallas=True)
+    )
+    b = np.asarray(pred.predict_dual_frames(frames, base, (80, 107)))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)

@@ -131,20 +131,30 @@ def bake_dataset(
     """
     rng = np.random.RandomState(seed)
 
+    def _load_all(dir_, files):
+        """Parallel multi-file load: IO fans out over a thread pool (each
+        load_pt additionally bulk-reads its payloads through the native
+        C++ reader when built). The reference's equivalent path is a
+        sequential loop with its thread pool permanently disabled
+        (general_dataset.py:18,139-163)."""
+        paths = [os.path.join(dir_, f) for f in files]
+        if len(paths) <= 1:
+            return [load_pt(p) for p in paths]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, len(paths))) as ex:
+            return list(ex.map(load_pt, paths))
+
     sources: List[Tuple[Dict, int]] = []
     if preloaded is not None:
         sources += [(d, i) for i, d in enumerate(preloaded)]
     elif pt_file_list:
         assert directory and os.path.exists(directory), f"Dataset path {directory} does not exist"
-        sources += [
-            (load_pt(os.path.join(directory, f)), i) for i, f in enumerate(pt_file_list)
-        ]
+        sources += [(d, i) for i, d in enumerate(_load_all(directory, pt_file_list))]
     if extra_preloaded is not None:
         sources += [(d, i) for i, d in enumerate(extra_preloaded)]
     elif extra_pt_list and extra_directory:
-        sources += [
-            (load_pt(os.path.join(extra_directory, f)), i) for i, f in enumerate(extra_pt_list)
-        ]
+        sources += [(d, i) for i, d in enumerate(_load_all(extra_directory, extra_pt_list))]
     if not sources:
         raise ValueError("no data sources given")
 

@@ -55,12 +55,25 @@ class _LazyStorage:
         self.array = np.frombuffer(data, dtype=dtype)
 
 
+def _contiguous_strides(size):
+    out, acc = [], 1
+    for s in reversed(size):
+        out.append(acc)
+        acc *= s
+    return tuple(reversed(out))
+
+
 def _rebuild_tensor(storage: _LazyStorage, storage_offset, size, stride, *unused):
     base = storage.array
     size = tuple(size)
     stride = tuple(stride)
     if not size:
         return base[storage_offset].copy()
+    if stride == _contiguous_strides(size):
+        # zero-copy: reshape the storage buffer directly (the buffer is
+        # owned by this load, so aliasing is safe)
+        n = int(np.prod(size))
+        return base[storage_offset : storage_offset + n].reshape(size)
     itemsize = base.dtype.itemsize
     view = np.lib.stride_tricks.as_strided(
         base[storage_offset:],
@@ -120,15 +133,53 @@ class _TorchFreeUnpickler(pickle.Unpickler):
         return _LazyStorage(dtype, self._read_record(key))
 
 
-def load_pt(path: str) -> Dict[str, Any]:
-    """Load a torch.save zip archive into a dict of numpy arrays."""
+def _native_bulk_read(path: str, zf: "zipfile.ZipFile", root: str):
+    """Read every stored `data/<key>` payload in one parallel native call
+    (gelslim_depth_tpu/native/ptloader.cpp). Returns {member_name: buffer}
+    or None when the native library or format is unavailable."""
+    import ctypes
+
+    from gelslim_depth_tpu.native import load_library
+
+    lib = load_library("ptloader")
+    if lib is None:
+        return None
+    infos = [
+        i for i in zf.infolist()
+        if i.filename.startswith(f"{root}data/") and i.file_size > 0
+    ]
+    if not infos or any(i.compress_type != zipfile.ZIP_STORED for i in infos):
+        return None
+    n = len(infos)
+    offsets = (ctypes.c_uint64 * n)(*[i.header_offset for i in infos])
+    sizes = (ctypes.c_uint64 * n)(*[i.file_size for i in infos])
+    bufs = [np.empty(i.file_size, np.uint8) for i in infos]
+    dsts = (ctypes.POINTER(ctypes.c_uint8) * n)(
+        *[b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for b in bufs]
+    )
+    rc = lib.ptl_read_many(path.encode(), offsets, sizes, dsts, n, 0)
+    if rc != 0:
+        return None
+    return {i.filename: b for i, b in zip(infos, bufs)}
+
+
+def load_pt(path: str, *, native: bool = True) -> Dict[str, Any]:
+    """Load a torch.save zip archive into a dict of numpy arrays.
+
+    native=True (default) bulk-reads all tensor payloads through the C++
+    parallel reader when available, falling back transparently."""
     try:
         with zipfile.ZipFile(path) as zf:
             names = zf.namelist()
             pkl_name = next(n for n in names if n.endswith("/data.pkl") or n == "data.pkl")
             root = pkl_name[: -len("data.pkl")]
+            bulk = _native_bulk_read(path, zf, root) if native else None
 
             def read_record(key: str) -> bytes:
+                if bulk is not None:
+                    member = f"{root}data/{key}"
+                    if member in bulk:
+                        return bulk[member]
                 return zf.read(f"{root}data/{key}")
 
             with zf.open(pkl_name) as f:

@@ -164,3 +164,31 @@ class TestBake:
         )
         assert len(ds) == 18  # (2 objects + 1 real) x 3 samples x 2 fingers
         assert ds.input_tactile_image_size == (8, 11)
+
+
+class TestNativeLoader:
+    def test_native_library_builds(self):
+        from gelslim_depth_tpu.native import load_library
+
+        lib = load_library("ptloader")
+        if lib is None:
+            pytest.skip("no C++ toolchain available")
+        assert lib.ptl_version() == 1
+
+    def test_native_load_matches_python(self, tmp_path, rng):
+        from gelslim_depth_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("no C++ toolchain available")
+        d = {
+            "tactile_image": rng.uniform(0, 255, (4, 6, 20, 27)).astype(np.float32),
+            "depth_image": rng.uniform(-2, 0, (4, 2, 20, 27)).astype(np.float32),
+            "idx": np.arange(4, dtype=np.int64),
+        }
+        p = str(tmp_path / "n.pt")
+        torch.save({k: torch.from_numpy(v) for k, v in d.items()}, p)
+        nat = load_pt(p, native=True)
+        pure = load_pt(p, native=False)
+        for k in d:
+            np.testing.assert_array_equal(nat[k], d[k])
+            np.testing.assert_array_equal(pure[k], d[k])

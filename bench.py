@@ -1,18 +1,15 @@
 """Headline benchmark: dual-sensor 320x427 depth frames/sec/chip.
 
 Measures the full deployable graph (BASELINE.json configs 1-2) on the real
-TPU: raw (N, 6, 320, 427) dual-GelSlim frames + base frame -> per-finger
-difference image -> area resize to 160x213 -> normalize -> flagship U-Net
-(bf16 compute, f32 accumulation) -> denormalize to mm -> area resize back
-to 320x427 -> (N, 2, 320, 427).
+TPU: raw (N, 6, 320, 427) dual-GelSlim frames + base frame -> Pallas fused
+per-finger difference/resize/normalize -> flagship U-Net (bf16 compute,
+f32 accumulation) -> denormalize to mm -> area resize back to 320x427 ->
+(N, 2, 320, 427).
 
-Measurement methodology (important on tunneled/async runtimes where
-block_until_ready does not synchronize with device execution): the K
-benchmark iterations are chained through a lax.scan whose carry is a scalar
-derived from each step's full output (so no step can be elided or
-overlapped-away), and wall time is taken around a single scalar host
-readback. Constant dispatch/readback overhead is cancelled by differencing
-two chain lengths (K and 2K).
+Timing uses gelslim_depth_tpu.utils.device_time: scan-chained iterations
+with a data-dependent carry and a single host readback, differenced over
+two chain lengths — the only sound methodology on tunneled runtimes where
+block_until_ready does not synchronize with device execution.
 
 Prints exactly ONE JSON line on stdout:
   {"metric": "dual_frames_per_sec_per_chip", "value": N, "unit": "frames/s",
@@ -22,54 +19,23 @@ frames/s/chip (BASELINE.md; the reference publishes no throughput numbers).
 Diagnostics go to stderr.
 """
 
-import functools
 import json
 import sys
-import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(config, unet_cfg, batch, k, dtype):
-    from gelslim_depth_tpu.inference import fused_predict_dual
-
-    @functools.partial(jax.jit, static_argnames=())
-    def chained(params, stats, x0, base):
-        def body(carry, _):
-            out = fused_predict_dual(
-                config, unet_cfg, params, stats, x0 + carry, base, (320, 427),
-                compute_dtype=dtype, use_pallas=True,
-            )
-            # scalar carry derived from the full output: forces each step to
-            # complete before the next starts and defeats dead-code elision;
-            # 1e-12 keeps the perturbation numerically irrelevant
-            return 1e-12 * jnp.mean(out), None
-
-        c, _ = lax.scan(body, jnp.float32(0.0), None, length=k)
-        return c
-
-    return chained
-
-
-def timed(fn, params, stats, x, base):
-    t0 = time.perf_counter()
-    c = fn(params, stats, x, base)
-    c = float(c)  # host readback = the only true synchronization point
-    dt = time.perf_counter() - t0
-    assert np.isfinite(c), "non-finite benchmark output"
-    return dt
-
-
 def main():
     from gelslim_depth_tpu.config import GelslimConfig
+    from gelslim_depth_tpu.inference import fused_predict_dual
     from gelslim_depth_tpu.models.unet import init_unet
+    from gelslim_depth_tpu.utils import device_time
 
     config = GelslimConfig(
         CNN_dimensions=(64, 128, 256, 512, 1024),
@@ -88,23 +54,24 @@ def main():
     rng = np.random.RandomState(0)
     base = jnp.asarray(rng.uniform(0, 255, (6, 320, 427)).astype(np.float32))
 
-    K = 8
+    def graph(p, s, x, b, carry):
+        # use_pallas=False here: inside the full fused graph XLA overlaps
+        # the front-end with the U-Net so the Pallas preprocess kernel buys
+        # nothing end-to-end (it is 3x faster standalone — see
+        # ops/pallas/preprocess_kernel.py), and its pinned-f32 MXU dots
+        # compile pathologically slowly inside the timing scan.
+        return fused_predict_dual(
+            config, unet_cfg, p, s, x + carry, b, (320, 427),
+            compute_dtype=jnp.bfloat16, use_pallas=False,
+        )
+
     best = (0.0, None)
     for batch in (16, 32, 64, 128):
         try:
             x = jnp.asarray(rng.uniform(0, 255, (batch, 6, 320, 427)).astype(np.float32))
-            f1 = build(config, unet_cfg, batch, K, jnp.bfloat16)
-            f2 = build(config, unet_cfg, batch, 2 * K, jnp.bfloat16)
-            timed(f1, params, stats, x, base)  # compile+warm
-            timed(f2, params, stats, x, base)
-            t1 = min(timed(f1, params, stats, x, base) for _ in range(3))
-            t2 = min(timed(f2, params, stats, x, base) for _ in range(3))
-            dt_per_iter = (t2 - t1) / K
-            fps = batch / dt_per_iter
-            log(
-                f"batch {batch}: t(K={K})={t1*1e3:.1f}ms t(K={2*K})={t2*1e3:.1f}ms "
-                f"-> {dt_per_iter*1e3:.2f} ms/iter, {fps:.1f} frames/s"
-            )
+            dt = device_time(graph, params, stats, x, base, iters=8, repeats=3)
+            fps = batch / dt
+            log(f"batch {batch}: {dt * 1e3:.2f} ms/iter, {fps:.1f} frames/s")
             if fps > best[0]:
                 best = (fps, batch)
         except Exception as e:

@@ -172,6 +172,11 @@ def reinit_weights_normal(
 # ---------------------------------------------------------------------------
 
 def _conv(x, w, padding, compute_dtype, precision):
+    # bf16 path: leave the output in bf16 (the MXU still accumulates in f32
+    # internally). Forcing preferred_element_type=f32 with bf16 operands
+    # breaks the conv transpose (gradient) rule with a dtype mismatch, so
+    # the f32 upcast is only requested on the f32 path where it is a no-op.
+    preferred = jnp.float32 if compute_dtype == jnp.float32 else None
     return lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
@@ -179,16 +184,18 @@ def _conv(x, w, padding, compute_dtype, precision):
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
 
 
 def _batch_norm(x, scale, bias, mean, var, train: bool):
-    """Returns (y, batch_mean, batch_var_biased) — stats None in eval."""
+    """Returns (y, batch_mean, batch_var_biased) — stats None in eval.
+    Statistics always accumulate in f32 (bf16 reductions lose precision)."""
     if train:
-        m = jnp.mean(x, axis=(0, 1, 2))
-        v = jnp.mean(jnp.square(x), axis=(0, 1, 2)) - jnp.square(m)
-        y = (x - m) * lax.rsqrt(v + BN_EPS) * scale + bias
+        xf = x.astype(jnp.float32)
+        m = jnp.mean(xf, axis=(0, 1, 2))
+        v = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(m)
+        y = (xf - m) * lax.rsqrt(v + BN_EPS) * scale + bias
         return y, m, v
     # eval: fold running stats into one affine (XLA fuses with the conv)
     inv = lax.rsqrt(var + BN_EPS) * scale
@@ -223,6 +230,7 @@ def _maxpool(x, m):
 
 def _up_block(x, skip, p, s, new_s, cfg, act, train, compute_dtype, precision):
     up_k = cfg.kernel_size - 1
+    preferred = jnp.float32 if compute_dtype == jnp.float32 else None
     y = lax.conv_transpose(
         x.astype(compute_dtype),
         p["upconv_w"].astype(compute_dtype),
@@ -231,7 +239,7 @@ def _up_block(x, skip, p, s, new_s, cfg, act, train, compute_dtype, precision):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         transpose_kernel=True,
         precision=precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     ).astype(compute_dtype) + p["upconv_b"].astype(compute_dtype)
     # pad up-sampled map to the skip's spatial size (ref unet.py:41-47):
     # F.pad([diffX//2, diffX - diffX//2, diffY//2, ...])

@@ -66,6 +66,7 @@ class Trainer:
         log_fn: Callable[[str], None] = print,
         enable_plots: bool = True,
         profile_first_epoch: bool = False,
+        resume_every_epochs: Optional[int] = None,
     ):
         self.config = config
         self.unet_cfg = config.unet_config()
@@ -76,6 +77,10 @@ class Trainer:
         self.log_fn = log_fn
         self.enable_plots = enable_plots
         self.profile_first_epoch = profile_first_epoch
+        # preemption recovery (aux subsystem the reference lacks,
+        # SURVEY.md 5.3): periodically persist the FULL train state so a
+        # killed run resumes with optimizer moments and EMA intact
+        self.resume_every_epochs = resume_every_epochs
 
         self.weights_dir = os.path.join(output_dir, "weights")
         self.loss_values_path = os.path.join(output_dir, "loss_values")
@@ -248,6 +253,8 @@ class Trainer:
                 self._plot_samples()
 
             self.epoch += 1
+            if self.resume_every_epochs and self.epoch % self.resume_every_epochs == 0:
+                self.save_resume_state()
             if max_epochs is not None and self.epoch >= max_epochs:
                 stop = True
 

@@ -192,3 +192,27 @@ class TestNativeLoader:
         for k in d:
             np.testing.assert_array_equal(nat[k], d[k])
             np.testing.assert_array_equal(pure[k], d[k])
+
+
+class TestGeneralDatasetFacade:
+    def test_reference_constructor_and_getitem(self, tmp_path, rng):
+        from gelslim_depth_tpu.data import GeneralDataset
+
+        write_synthetic_dataset_tree(str(tmp_path), n_per_object=3, image_size=(16, 22))
+        ds = GeneralDataset(
+            directory=str(tmp_path / "train_data"),
+            pt_file_list=["pattern_31_rod_train.pt", "peg1_train.pt"],
+            use_difference_image=True,
+            depth_normalization_method="min_max_to_0_-1",
+            image_normalization_method="0_255_to_0_1",
+            separate_fingers=True,
+            downsample_factor=0.5,
+            norm_scale=0.9,
+        )
+        assert len(ds) == 12
+        sample = ds[3]
+        assert set(sample) == {"tactile_image", "depth_image", "object_index"}
+        assert sample["tactile_image"].shape == (3, 8, 11)
+        assert sample["depth_image"].shape == (1, 8, 11)
+        assert ds.input_tactile_image_size == (8, 11)
+        assert len(ds.depth_normalization_parameters) == 4

@@ -158,3 +158,19 @@ def test_dual_frame_pallas_path(bundle):
     )
     b = np.asarray(pred.predict_dual_frames(frames, base, (80, 107)))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_predictor_from_torch_checkpoint(tmp_path, bundle):
+    """The published-.pth ingestion path: torch state_dict file -> Predictor."""
+    import torch
+
+    rng, sd, cfg, pred = bundle
+    p = str(tmp_path / "weights.pth")
+    torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()}, p)
+    pred2 = Predictor.from_torch_checkpoint(p, cfg)
+    images = rng.uniform(0, 255, (1, 3, 80, 107)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(pred2.predict_depth_from_RGB(images, (40, 53))),
+        np.asarray(pred.predict_depth_from_RGB(images, (40, 53))),
+        rtol=1e-6, atol=1e-6,
+    )

@@ -176,3 +176,22 @@ class TestDataParallel:
         got = predict(replicate(mesh, params), replicate(mesh, stats), shard_batch(mesh, jnp.asarray(x)))
         want, _ = unet_apply(CFG, params, stats, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_train_step_runs_and_learns(rng):
+    """bfloat16 compute must be differentiable end-to-end (conv gradient
+    rules reject mixed-dtype operands, so the bf16 path keeps conv outputs
+    in bf16 and accumulates batch-norm statistics in f32)."""
+    sd = make_state_dict(rng, DIMS)
+    params, stats = import_torch_state_dict(sd, CFG)
+    opt = make_optimizer()
+    state = TrainState(params, stats, opt.init(params), ema_init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(CFG, opt, compute_dtype=jnp.bfloat16))
+    losses = []
+    for x, y in make_batches(rng, 4):
+        state, loss = step(state, jnp.asarray(x), jnp.asarray(y))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # moves downhill
+    # params stay f32 even under bf16 compute
+    assert state.params["inc"]["conv1_w"].dtype == jnp.float32

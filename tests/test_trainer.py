@@ -166,3 +166,12 @@ def test_plots_emitted(tmp_path, datasets):
     tr.fit(max_epochs=1)
     assert os.path.exists(os.path.join(str(tmp_path), "loss_curves", "tiny.png"))
     assert os.path.exists(os.path.join(str(tmp_path), "live_display", "tiny_validation_images.png"))
+
+
+def test_periodic_resume_checkpoints(tmp_path, datasets):
+    train, val = datasets
+    cfg = small_cfg()
+    tr = Trainer(cfg, train, val, val, output_dir=str(tmp_path), enable_plots=False,
+                 resume_every_epochs=2)
+    tr.fit(max_epochs=4)
+    assert os.path.exists(os.path.join(str(tmp_path), "weights", "train_state.npz"))

@@ -21,6 +21,9 @@ def main(argv=None):
         print(__doc__)
         return 0
     cmd, rest = argv[0], argv[1:]
+    from gelslim_depth_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     if cmd == "train":
         from gelslim_depth_tpu.cli.train_cmd import run
     elif cmd == "test":

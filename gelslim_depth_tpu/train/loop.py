@@ -67,6 +67,7 @@ class Trainer:
         enable_plots: bool = True,
         profile_first_epoch: bool = False,
         resume_every_epochs: Optional[int] = None,
+        static_batch_shapes: bool = True,
     ):
         self.config = config
         self.unet_cfg = config.unet_config()
@@ -81,6 +82,15 @@ class Trainer:
         # SURVEY.md 5.3): periodically persist the FULL train state so a
         # killed run resumes with optimizer moments and EMA intact
         self.resume_every_epochs = resume_every_epochs
+        # static_batch_shapes pads the ragged tail batch to the full batch
+        # size with a per-sample valid mask, so jit compiles exactly ONE
+        # train and ONE eval program shape for the whole run (under the
+        # tunneled compiler each extra shape costs minutes). The masked
+        # loss equals the reference's per-batch mean exactly; the only
+        # deviation is that the tail batch's batch-norm statistics see the
+        # repeated padding samples. static_batch_shapes=False restores the
+        # bit-exact ragged path (always on in the DP trainer regardless).
+        self.static_batch_shapes = static_batch_shapes
 
         self.weights_dir = os.path.join(output_dir, "weights")
         self.loss_values_path = os.path.join(output_dir, "loss_values")
@@ -113,12 +123,15 @@ class Trainer:
             self.state = replicate(mesh, self.state)
         else:
             self.n_shard = None
+            masked = static_batch_shapes
             self._train_step = jax.jit(
-                make_train_step(self.unet_cfg, self.optimizer, compute_dtype=compute_dtype),
+                make_train_step(
+                    self.unet_cfg, self.optimizer, compute_dtype=compute_dtype, masked=masked
+                ),
                 donate_argnums=(0,),
             )
             self._eval_step = jax.jit(
-                make_eval_step(self.unet_cfg, compute_dtype=compute_dtype)
+                make_eval_step(self.unet_cfg, compute_dtype=compute_dtype, masked=masked)
             )
 
         # freeze the *learned* preprocessing state into the config artifact,
@@ -157,15 +170,19 @@ class Trainer:
 
     def _train_epoch(self, seed: int) -> float:
         total, n = 0.0, 0
+        it = BatchIterator(self.train_ds, self.config.batch_size, shuffle=True, seed=seed)
         if self.mesh is not None:
-            it = BatchIterator(self.train_ds, self.config.batch_size, shuffle=True, seed=seed)
             for img, dep, mask in it.padded_epoch(pad_to_multiple_of=self.n_shard):
                 img, dep, mask = self._shard(img, dep, mask)
                 self.state, loss = self._train_step(self.state, img, dep, mask)
                 total += float(loss)
                 n += 1
+        elif self.static_batch_shapes:
+            for img, dep, mask in it.padded_epoch():
+                self.state, loss = self._train_step(self.state, img, dep, mask)
+                total += float(loss)
+                n += 1
         else:
-            it = BatchIterator(self.train_ds, self.config.batch_size, shuffle=True, seed=seed)
             for img, dep, _ in it.epoch():
                 self.state, loss = self._train_step(self.state, img, dep)
                 total += float(loss)
@@ -178,6 +195,10 @@ class Trainer:
         if self.mesh is not None:
             for img, dep, mask in it.padded_epoch(pad_to_multiple_of=self.n_shard):
                 img, dep, mask = self._shard(img, dep, mask)
+                total += float(self._eval_step(self.state, img, dep, mask))
+                n += 1
+        elif self.static_batch_shapes:
+            for img, dep, mask in it.padded_epoch():
                 total += float(self._eval_step(self.state, img, dep, mask))
                 n += 1
         else:

@@ -40,6 +40,15 @@ def parse_args(argv):
     p.add_argument("--data_parallel", action="store_true",
                    help="Shard training over all local devices")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--plots", action="store_true",
+                   help="live matplotlib triptychs + loss curves per epoch "
+                        "(the reference's always-on behavior; costs an extra "
+                        "compiled program shape)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize DoubleConv blocks (jax.checkpoint) "
+                        "for larger batches")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from <output_dir>/weights/train_state.npz")
     p.add_argument("--dims", type=int, nargs="+", default=[64, 128, 256, 512, 1024])
     p.add_argument("--downsample_factor", type=float, default=0.5)
     return p.parse_args(argv)
@@ -170,6 +179,12 @@ def run(argv):
         mesh=mesh,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         starting_weights=starting,
+        enable_plots=args.plots,
+        remat=args.remat,
     )
+    if args.resume:
+        trainer.load_resume_state()
+        print(f"resumed from step {int(trainer.state.step)}")
     trainer.fit(max_epochs=args.max_epochs)
+    trainer.save_resume_state()
     return 0

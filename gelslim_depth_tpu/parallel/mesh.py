@@ -56,12 +56,14 @@ def make_dp_train_step(
     channels_last: bool = False,
     donate: bool = True,
     masked: bool = False,
+    remat: bool = False,
 ):
     """Jitted DP train step: state replicated, batch sharded on its leading
     axis. Returns step(state, images, targets[, valid_mask]) ->
     (state, loss). masked=True enables static-shape padded tail batches."""
     base = make_train_step(
-        unet_cfg, optimizer, compute_dtype=compute_dtype, channels_last=channels_last, masked=masked
+        unet_cfg, optimizer, compute_dtype=compute_dtype, channels_last=channels_last,
+        masked=masked, remat=remat,
     )
     repl = NamedSharding(mesh, P())
     batched = NamedSharding(mesh, P(axis_name, None, None, None))

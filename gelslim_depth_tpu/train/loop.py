@@ -68,6 +68,7 @@ class Trainer:
         profile_first_epoch: bool = False,
         resume_every_epochs: Optional[int] = None,
         static_batch_shapes: bool = True,
+        remat: bool = False,
     ):
         self.config = config
         self.unet_cfg = config.unet_config()
@@ -115,7 +116,8 @@ class Trainer:
 
             self.n_shard = mesh.devices.size
             self._train_step = make_dp_train_step(
-                self.unet_cfg, self.optimizer, mesh, compute_dtype=compute_dtype, masked=True, donate=True
+                self.unet_cfg, self.optimizer, mesh, compute_dtype=compute_dtype,
+                masked=True, donate=True, remat=remat,
             )
             self._eval_step = make_dp_eval_step(
                 self.unet_cfg, mesh, compute_dtype=compute_dtype, masked=True
@@ -126,7 +128,8 @@ class Trainer:
             masked = static_batch_shapes
             self._train_step = jax.jit(
                 make_train_step(
-                    self.unet_cfg, self.optimizer, compute_dtype=compute_dtype, masked=masked
+                    self.unet_cfg, self.optimizer, compute_dtype=compute_dtype,
+                    masked=masked, remat=remat,
                 ),
                 donate_argnums=(0,),
             )
@@ -328,6 +331,12 @@ class Trainer:
         k = min(self.config.num_images_to_display_live, len(self.val_ds))
         if k == 0:
             return
+        if not hasattr(self, "_plot_fwd"):
+            # jit once: an eager full-model forward would compile every conv
+            # as its own program (minutes each through the tunneled compiler)
+            self._plot_fwd = jax.jit(
+                lambda p, s, im: unet_apply(self.unet_cfg, p, s, im)[0]
+            )
         rng = np.random.RandomState(self.epoch)
         for split_name, ds in (("train", self.train_ds), ("validation", self.val_ds), ("test", self.test_ds)):
             idx = rng.choice(len(ds), size=min(k, len(ds)), replace=False)
@@ -335,7 +344,7 @@ class Trainer:
             dep = jnp.take(ds.depth_image, jnp.asarray(idx), axis=0)
             params = jax.device_get(self.state.ema.shadow)
             stats = jax.device_get(self.state.batch_stats)
-            pred, _ = unet_apply(self.unet_cfg, params, stats, img)
+            pred = self._plot_fwd(params, stats, img)
             fig, axes = plt.subplots(len(idx), 3, figsize=(10, 10), squeeze=False)
             for r in range(len(idx)):
                 axes[r, 0].imshow(

@@ -90,17 +90,21 @@ def make_train_step(
     compute_dtype=jnp.float32,
     channels_last: bool = False,
     masked: bool = False,
+    remat: bool = False,
 ) -> Callable[..., Tuple[TrainState, jnp.ndarray]]:
     """Returns step(state, images, targets[, valid_mask]) -> (state, loss).
     Pure; jit (or shard over a mesh) at the call site. With masked=True the
     step takes a per-sample bool mask so padded static-shape batches
     contribute no loss (note: padded samples still enter batch-norm
-    statistics — pad by repeating real samples, not zeros)."""
+    statistics — pad by repeating real samples, not zeros). remat=True
+    rematerializes each DoubleConv in the backward pass for larger
+    batches (jax.checkpoint)."""
 
     def loss_fn(params, batch_stats, images, targets, valid_mask):
         pred, new_stats = unet_apply(
             unet_cfg, params, batch_stats, images,
             train=True, compute_dtype=compute_dtype, channels_last=channels_last,
+            remat=remat,
         )
         return mse_loss(pred, targets, valid_mask), new_stats
 

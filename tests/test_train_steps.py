@@ -195,3 +195,29 @@ def test_bf16_train_step_runs_and_learns(rng):
     assert losses[-1] < losses[0]  # moves downhill
     # params stay f32 even under bf16 compute
     assert state.params["inc"]["conv1_w"].dtype == jnp.float32
+
+
+def test_remat_train_step_matches_standard(rng):
+    """jax.checkpoint rematerialization must not change the math."""
+    sd = make_state_dict(rng, DIMS)
+    params, stats = import_torch_state_dict(sd, CFG)
+    opt = make_optimizer()
+
+    def run(remat):
+        state = TrainState(params, stats, opt.init(params), ema_init(params), jnp.zeros((), jnp.int32))
+        step = jax.jit(make_train_step(CFG, opt, remat=remat))
+        losses = []
+        for x, y in make_batches(rng_local, 2):
+            state, loss = step(state, jnp.asarray(x), jnp.asarray(y))
+            losses.append(float(loss))
+        return losses, state
+
+    rng_local = np.random.RandomState(5)
+    l0, s0 = run(False)
+    rng_local = np.random.RandomState(5)
+    l1, s1 = run(True)
+    np.testing.assert_allclose(l0, l1, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(s0.params["inc"]["conv1_w"]), np.asarray(s1.params["inc"]["conv1_w"]),
+        rtol=1e-6, atol=1e-7,
+    )

@@ -15,3 +15,11 @@ __all__ = [
     "make_dp_eval_step",
     "make_dp_predict",
 ]
+
+from gelslim_depth_tpu.parallel.multihost import (
+    initialize,
+    process_local_indices,
+    global_batch_from_local,
+)
+
+__all__ += ["initialize", "process_local_indices", "global_batch_from_local"]

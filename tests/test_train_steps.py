@@ -221,3 +221,22 @@ def test_remat_train_step_matches_standard(rng):
         np.asarray(s0.params["inc"]["conv1_w"]), np.asarray(s1.params["inc"]["conv1_w"]),
         rtol=1e-6, atol=1e-7,
     )
+
+
+class TestMultiHost:
+    def test_process_local_indices_single_process(self):
+        from gelslim_depth_tpu.parallel import process_local_indices
+
+        # one real process: the local slice is everything
+        np.testing.assert_array_equal(process_local_indices(10), np.arange(10))
+
+    def test_global_batch_from_local(self, rng):
+        from gelslim_depth_tpu.parallel import make_mesh, global_batch_from_local
+
+        mesh = make_mesh(8)
+        x = rng.randn(16, 3, 4, 5).astype(np.float32)
+        arr = global_batch_from_local(mesh, x)
+        assert arr.shape == (16, 3, 4, 5)
+        np.testing.assert_array_equal(np.asarray(arr), x)
+        # sharded over the data axis
+        assert len(arr.sharding.device_set) == 8

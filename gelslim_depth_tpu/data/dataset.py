@@ -65,6 +65,35 @@ class BakedDataset:
         return int(self.tactile_image.shape[0])
 
 
+def _np_area_resize(x: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Host-side adaptive-average resize with the same static weight
+    matrices as ops.area_resize (bake is one-shot host work; routing it
+    through the device costs a compile per object shape plus tunneled
+    readbacks — observed stalling full-resolution bakes)."""
+    from gelslim_depth_tpu.ops.resize import _area_weight_matrix
+
+    h_in, w_in = x.shape[-2:]
+    h_out, w_out = int(size[0]), int(size[1])
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    ah = _area_weight_matrix(h_in, h_out)
+    aw = _area_weight_matrix(w_in, w_out)
+    y = np.einsum("oh,...hw->...ow", ah, x, optimize=True)
+    return np.einsum("pw,...ow->...op", aw, y, optimize=True).astype(np.float32)
+
+
+def _np_gaussian_blur(x: np.ndarray, k: int) -> np.ndarray:
+    from gelslim_depth_tpu.ops.image import _gaussian_kernel_1d
+
+    kern = _gaussian_kernel_1d(int(k))
+    pad = k // 2
+    nd = x.ndim
+    y = np.pad(x, [(0, 0)] * (nd - 2) + [(pad, pad), (0, 0)], mode="reflect")
+    y = np.apply_along_axis(lambda a: np.convolve(a, kern, mode="valid"), -2, y)
+    y = np.pad(y, [(0, 0)] * (nd - 2) + [(0, 0), (pad, pad)], mode="reflect")
+    return np.apply_along_axis(lambda a: np.convolve(a, kern, mode="valid"), -1, y).astype(np.float32)
+
+
 def _preprocess_object(
     data: Dict,
     *,
@@ -74,7 +103,9 @@ def _preprocess_object(
     depth_image_blur_kernel: int,
     interp_method: str,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """One object's dict -> (tactile (M,3,h,w), depth (M,1,h,w)) float32."""
+    """One object's dict -> (tactile (M,3,h,w), depth (M,1,h,w)) float32.
+    Pure numpy: the bake runs once on the host; only the final normalized
+    arrays travel to the device."""
     img = np.asarray(data["tactile_image"], np.float32)
     depth = _get_depth(data)
     if depth is None:
@@ -85,16 +116,20 @@ def _preprocess_object(
         base = np.asarray(data["base_tactile_image"], np.float32)
         if base.ndim == 3:
             base = base[None]
-        img = np.asarray(ops.get_difference_image(jnp.asarray(img), jnp.asarray(base[:, : img.shape[1]])))
+        img = (img - base[:, : img.shape[1]] + 255.0) / 2.0
 
     if separate_fingers:
         img = np.concatenate([img[:, 0:3], img[:, 3:6]], axis=0)
         depth = np.concatenate([depth[:, 0:1], depth[:, 1:2]], axis=0)
 
-    img = np.asarray(ops.resize(jnp.asarray(img), target_size, interp_method))
-    depth = np.asarray(ops.resize(jnp.asarray(depth), target_size, interp_method))
+    if interp_method != "area":
+        img = np.asarray(ops.resize(jnp.asarray(img), target_size, interp_method))
+        depth = np.asarray(ops.resize(jnp.asarray(depth), target_size, interp_method))
+    else:
+        img = _np_area_resize(img, target_size)
+        depth = _np_area_resize(depth, target_size)
     if depth_image_blur_kernel > 1:
-        depth = np.asarray(ops.gaussian_blur(jnp.asarray(depth), depth_image_blur_kernel))
+        depth = _np_gaussian_blur(depth, depth_image_blur_kernel)
     return img, depth
 
 
@@ -198,16 +233,21 @@ def bake_dataset(
             [_unbiased_std(tactile[:, i]) for i in range(c)],
         )
 
-    # one vectorized normalization pass, then to device
-    tactile_n = ops.normalize_tactile_image(
-        jnp.asarray(tactile), image_normalization_method, norm_scale, image_normalization_parameters
+    # one vectorized normalization pass on the host (same folded-affine
+    # coefficients as ops.normalize_*), then a single device_put of the
+    # finished arrays
+    from gelslim_depth_tpu.ops.normalize import depth_norm_coeffs, image_norm_coeffs
+
+    s, b, d = image_norm_coeffs(
+        image_normalization_method, norm_scale, image_normalization_parameters, tactile.shape[1]
     )
-    depth_n = ops.normalize_depth_image(
-        jnp.asarray(depth), depth_normalization_method, norm_scale, depth_normalization_parameters
-    )
-    if device is not None:
-        tactile_n = jax.device_put(tactile_n, device)
-        depth_n = jax.device_put(depth_n, device)
+    mult = (s / d).astype(np.float32).reshape(1, -1, 1, 1)
+    add = (-b * s / d).astype(np.float32).reshape(1, -1, 1, 1)
+    tactile_n = tactile * mult + add
+    ds_, db_, dd_ = depth_norm_coeffs(depth_normalization_method, norm_scale, depth_normalization_parameters)
+    depth_n = depth * np.float32(ds_ / dd_) + np.float32(-db_ * ds_ / dd_)
+    tactile_n = jax.device_put(tactile_n, device)
+    depth_n = jax.device_put(depth_n, device)
 
     return BakedDataset(
         tactile_image=tactile_n,

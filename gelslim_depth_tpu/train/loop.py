@@ -111,6 +111,14 @@ class Trainer:
         else:
             self.state = create_train_state(key, self.unet_cfg, self.optimizer)
 
+        if mesh is None:
+            # commit the initial state to the device NOW: otherwise the
+            # first step call compiles for host-placed (uncommitted) args
+            # and the second call — whose donated-output state IS committed
+            # — cache-misses into a full recompile (~20 min through the
+            # tunneled compiler)
+            self.state = jax.device_put(self.state, jax.devices()[0])
+
         if mesh is not None:
             from gelslim_depth_tpu.parallel import make_dp_train_step, make_dp_eval_step, replicate
 
@@ -172,43 +180,39 @@ class Trainer:
         return tuple(shard_batch(self.mesh, a) for a in arrays)
 
     def _train_epoch(self, seed: int) -> float:
-        total, n = 0.0, 0
+        # per-batch losses stay on device; ONE host readback per epoch
+        # (each sync costs a full tunnel round-trip)
+        losses = []
         it = BatchIterator(self.train_ds, self.config.batch_size, shuffle=True, seed=seed)
         if self.mesh is not None:
             for img, dep, mask in it.padded_epoch(pad_to_multiple_of=self.n_shard):
                 img, dep, mask = self._shard(img, dep, mask)
                 self.state, loss = self._train_step(self.state, img, dep, mask)
-                total += float(loss)
-                n += 1
+                losses.append(loss)
         elif self.static_batch_shapes:
             for img, dep, mask in it.padded_epoch():
                 self.state, loss = self._train_step(self.state, img, dep, mask)
-                total += float(loss)
-                n += 1
+                losses.append(loss)
         else:
             for img, dep, _ in it.epoch():
                 self.state, loss = self._train_step(self.state, img, dep)
-                total += float(loss)
-                n += 1
-        return total / max(n, 1)
+                losses.append(loss)
+        return float(np.mean([float(l) for l in jax.device_get(losses)])) if losses else 0.0
 
     def _eval_epoch(self, ds: BakedDataset, seed: int) -> float:
-        total, n = 0.0, 0
+        losses = []
         it = BatchIterator(ds, self.config.batch_size, shuffle=True, seed=seed)
         if self.mesh is not None:
             for img, dep, mask in it.padded_epoch(pad_to_multiple_of=self.n_shard):
                 img, dep, mask = self._shard(img, dep, mask)
-                total += float(self._eval_step(self.state, img, dep, mask))
-                n += 1
+                losses.append(self._eval_step(self.state, img, dep, mask))
         elif self.static_batch_shapes:
             for img, dep, mask in it.padded_epoch():
-                total += float(self._eval_step(self.state, img, dep, mask))
-                n += 1
+                losses.append(self._eval_step(self.state, img, dep, mask))
         else:
             for img, dep, _ in it.epoch():
-                total += float(self._eval_step(self.state, img, dep))
-                n += 1
-        return total / max(n, 1)
+                losses.append(self._eval_step(self.state, img, dep))
+        return float(np.mean([float(l) for l in jax.device_get(losses)])) if losses else 0.0
 
     def _save_best(self):
         self._log("Validation loss is at a minimum. Saving the model")

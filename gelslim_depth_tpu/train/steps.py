@@ -66,21 +66,30 @@ def create_train_state(
     batch_stats=None,
 ) -> TrainState:
     """Fresh state with the reference's N(0, 0.01) weight re-init
-    (train_unet.py:246-250), or wrap provided (fine-tune) weights."""
-    if params is None or batch_stats is None:
-        k_init, k_reinit = jax.random.split(key)
-        params, batch_stats = init_unet(k_init, unet_cfg)
-        if reinit_std is not None:
-            from gelslim_depth_tpu.models.unet import reinit_weights_normal
+    (train_unet.py:246-250), or wrap provided (fine-tune) weights.
 
-            params = reinit_weights_normal(params, k_reinit, std=reinit_std)
-    return TrainState(
-        params=params,
-        batch_stats=batch_stats,
-        opt_state=optimizer.init(params),
-        ema=ema_init(params, decay=ema_decay),
-        step=jnp.zeros((), jnp.int32),
-    )
+    The whole construction runs under one jit: eagerly it is ~200 tiny
+    device programs, each paying a full round trip on tunneled runtimes."""
+
+    def build(key, params, batch_stats):
+        if params is None:
+            k_init, k_reinit = jax.random.split(key)
+            params, batch_stats = init_unet(k_init, unet_cfg)
+            if reinit_std is not None:
+                from gelslim_depth_tpu.models.unet import reinit_weights_normal
+
+                params = reinit_weights_normal(params, k_reinit, std=reinit_std)
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=optimizer.init(params),
+            ema=ema_init(params, decay=ema_decay),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    if params is not None and batch_stats is not None:
+        return jax.jit(lambda p, s: build(None, p, s))(params, batch_stats)
+    return jax.jit(lambda k: build(k, None, None))(key)
 
 
 def make_train_step(

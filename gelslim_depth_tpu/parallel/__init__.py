@@ -5,6 +5,7 @@ from gelslim_depth_tpu.parallel.mesh import (
     make_dp_train_step,
     make_dp_eval_step,
     make_dp_predict,
+    make_dp_fused_predictor,
 )
 
 __all__ = [
@@ -14,6 +15,7 @@ __all__ = [
     "make_dp_train_step",
     "make_dp_eval_step",
     "make_dp_predict",
+    "make_dp_fused_predictor",
 ]
 
 from gelslim_depth_tpu.parallel.multihost import (

@@ -116,3 +116,37 @@ def make_dp_predict(
         return y
 
     return jax.jit(fwd, in_shardings=(repl, repl, batched), out_shardings=batched)
+
+
+def make_dp_fused_predictor(
+    config,
+    unet_cfg: UNetConfig,
+    mesh: Mesh,
+    output_size,
+    *,
+    axis_name: str = "data",
+    compute_dtype=jnp.float32,
+):
+    """The FULL dual-frame inference graph (diff -> resize -> normalize ->
+    U-Net -> denorm -> resize back) batch-sharded over the mesh: frames
+    shard on their leading axis, weights replicate, the per-frame pipeline
+    needs no cross-device communication at all — linear throughput scaling
+    over ICI-connected chips (BASELINE.json config 5).
+
+    Returns predict(params, batch_stats, frames, base) -> (N, 2, *out)."""
+    from gelslim_depth_tpu.inference import fused_predict_dual
+
+    repl = NamedSharding(mesh, P())
+    frames_sh = NamedSharding(mesh, P(axis_name, None, None, None))
+
+    def fwd(params, batch_stats, frames, base):
+        return fused_predict_dual(
+            config, unet_cfg, params, batch_stats, frames, base,
+            tuple(output_size), compute_dtype=compute_dtype,
+        )
+
+    return jax.jit(
+        fwd,
+        in_shardings=(repl, repl, frames_sh, repl),
+        out_shardings=frames_sh,
+    )

@@ -134,12 +134,17 @@ class Trainer:
         else:
             self.n_shard = None
             masked = static_batch_shapes
+            # NB: no donate_argnums here. Donating the state was observed to
+            # trigger a fresh XLA compile on the second step (donated-output
+            # arrays present a different signature than the initial state),
+            # which costs ~20 minutes per program through the tunneled
+            # compiler. The model+optimizer state is ~0.5 GB — double
+            # buffering it is cheap next to that.
             self._train_step = jax.jit(
                 make_train_step(
                     self.unet_cfg, self.optimizer, compute_dtype=compute_dtype,
                     masked=masked, remat=remat,
                 ),
-                donate_argnums=(0,),
             )
             self._eval_step = jax.jit(
                 make_eval_step(self.unet_cfg, compute_dtype=compute_dtype, masked=masked)

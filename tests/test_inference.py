@@ -174,3 +174,24 @@ def test_predictor_from_torch_checkpoint(tmp_path, bundle):
         np.asarray(pred.predict_depth_from_RGB(images, (40, 53))),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_dp_fused_predictor_matches_single(bundle):
+    """Config-5 path: full dual-frame graph sharded over an 8-device mesh
+    equals the single-device fused graph."""
+    import jax
+
+    from gelslim_depth_tpu.parallel import make_mesh, make_dp_fused_predictor, replicate, shard_batch
+
+    rng, sd, cfg, pred = bundle
+    mesh = make_mesh(8)
+    dp = make_dp_fused_predictor(cfg, cfg.unet_config(), mesh, (80, 107))
+    frames = jnp.asarray(rng.uniform(0, 255, (16, 6, 80, 107)).astype(np.float32))
+    base = jnp.asarray(rng.uniform(0, 255, (6, 80, 107)).astype(np.float32))
+    got = dp(
+        replicate(mesh, pred.params), replicate(mesh, pred.batch_stats),
+        shard_batch(mesh, frames), replicate(mesh, base),
+    )
+    assert len(got.sharding.device_set) == 8
+    want = pred.predict_dual_frames(frames, base, (80, 107))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)

@@ -284,6 +284,25 @@ class BatchIterator:
                 jnp.take(self.ds.object_index, sel, axis=0),
             )
 
+    def padded_epoch_indices(self, pad_to_multiple_of: Optional[int] = None):
+        """One epoch's shuffled sample indices as stacked static-shape
+        arrays: (perm (n_batches, bs) int32, masks (n_batches, bs) bool).
+        Feeds the scan-epoch programs (train/steps.py make_train_epoch_fn);
+        the ragged tail pads by repeating sample 0 with mask False."""
+        n = len(self.ds)
+        bs = self.batch_size
+        if pad_to_multiple_of:
+            bs = -(-bs // pad_to_multiple_of) * pad_to_multiple_of
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        n_batches = -(-n // self.batch_size)
+        perm = np.zeros((n_batches, bs), np.int32)
+        masks = np.zeros((n_batches, bs), bool)
+        for b in range(n_batches):
+            chunk = order[b * self.batch_size : (b + 1) * self.batch_size]
+            perm[b, : len(chunk)] = chunk
+            masks[b, : len(chunk)] = True
+        return perm, masks
+
     def padded_epoch(self, pad_to_multiple_of: Optional[int] = None):
         """Epoch with every batch padded to the full batch size (and
         optionally a device-count multiple) so jit sees ONE batch shape all

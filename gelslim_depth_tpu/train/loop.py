@@ -69,6 +69,7 @@ class Trainer:
         resume_every_epochs: Optional[int] = None,
         static_batch_shapes: bool = True,
         remat: bool = False,
+        scan_epochs: bool = True,
     ):
         self.config = config
         self.unet_cfg = config.unet_config()
@@ -92,6 +93,12 @@ class Trainer:
         # repeated padding samples. static_batch_shapes=False restores the
         # bit-exact ragged path (always on in the DP trainer regardless).
         self.static_batch_shapes = static_batch_shapes
+        # scan_epochs runs each whole epoch as ONE jitted lax.scan program
+        # (single-device path): the per-batch gather + step live on-device,
+        # so an epoch costs one dispatch and one scalar readback. On
+        # tunneled TPU terminals, per-call overhead on the many-output
+        # train step was measured in minutes — this amortizes it away.
+        self.scan_epochs = scan_epochs and mesh is None
 
         self.weights_dir = os.path.join(output_dir, "weights")
         self.loss_values_path = os.path.join(output_dir, "loss_values")
@@ -149,6 +156,17 @@ class Trainer:
             self._eval_step = jax.jit(
                 make_eval_step(self.unet_cfg, compute_dtype=compute_dtype, masked=masked)
             )
+            if self.scan_epochs:
+                from gelslim_depth_tpu.train.steps import make_train_epoch_fn, make_eval_epoch_fn
+
+                self._train_epoch_fn = jax.jit(
+                    make_train_epoch_fn(
+                        self.unet_cfg, self.optimizer, compute_dtype=compute_dtype, remat=remat
+                    )
+                )
+                self._eval_epoch_fn = jax.jit(
+                    make_eval_epoch_fn(self.unet_cfg, compute_dtype=compute_dtype)
+                )
 
         # freeze the *learned* preprocessing state into the config artifact,
         # exactly what makes the reference's generated configs reproducible
@@ -189,6 +207,13 @@ class Trainer:
         # (each sync costs a full tunnel round-trip)
         losses = []
         it = BatchIterator(self.train_ds, self.config.batch_size, shuffle=True, seed=seed)
+        if self.scan_epochs:
+            perm, masks = it.padded_epoch_indices()
+            self.state, loss = self._train_epoch_fn(
+                self.state, self.train_ds.tactile_image, self.train_ds.depth_image,
+                jnp.asarray(perm), jnp.asarray(masks),
+            )
+            return float(loss)
         if self.mesh is not None:
             for img, dep, mask in it.padded_epoch(pad_to_multiple_of=self.n_shard):
                 img, dep, mask = self._shard(img, dep, mask)
@@ -207,6 +232,14 @@ class Trainer:
     def _eval_epoch(self, ds: BakedDataset, seed: int) -> float:
         losses = []
         it = BatchIterator(ds, self.config.batch_size, shuffle=True, seed=seed)
+        if self.scan_epochs:
+            perm, masks = it.padded_epoch_indices()
+            return float(
+                self._eval_epoch_fn(
+                    self.state, ds.tactile_image, ds.depth_image,
+                    jnp.asarray(perm), jnp.asarray(masks),
+                )
+            )
         if self.mesh is not None:
             for img, dep, mask in it.padded_epoch(pad_to_multiple_of=self.n_shard):
                 img, dep, mask = self._shard(img, dep, mask)

@@ -175,3 +175,16 @@ def test_periodic_resume_checkpoints(tmp_path, datasets):
                  resume_every_epochs=2)
     tr.fit(max_epochs=4)
     assert os.path.exists(os.path.join(str(tmp_path), "weights", "train_state.npz"))
+
+
+def test_scan_epochs_match_per_step_loop(tmp_path, datasets):
+    """Epoch-as-one-scan must be loss-for-loss identical to the per-step
+    dispatch loop (same seeds -> same permutations -> same math)."""
+    train, val = datasets
+    losses = {}
+    for scan in (False, True):
+        cfg = small_cfg(training_learning_rate=3e-3)
+        tr = Trainer(cfg, train, val, val, output_dir=str(tmp_path / f"s{scan}"),
+                     enable_plots=False, seed=0, scan_epochs=scan)
+        losses[scan] = tr.fit(max_epochs=3)["train_loss"]
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5, atol=1e-6)

@@ -21,7 +21,7 @@ import dataclasses
 import importlib.util
 import json
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 from gelslim_depth_tpu.models.unet import UNetConfig
 

@@ -11,7 +11,6 @@ ascii:  'solid ...' with 'facet normal' / 'vertex' records.
 from __future__ import annotations
 
 import struct
-from typing import Tuple
 
 import numpy as np
 

@@ -16,14 +16,14 @@ exactly instead of diverging per-replica.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gelslim_depth_tpu.models.unet import UNetConfig, unet_apply
-from gelslim_depth_tpu.train.steps import TrainState, make_train_step, make_eval_step, mse_loss
+from gelslim_depth_tpu.train.steps import make_train_step, make_eval_step
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:

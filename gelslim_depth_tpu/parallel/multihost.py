@@ -21,7 +21,7 @@ the same code path with process_count > 1.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax

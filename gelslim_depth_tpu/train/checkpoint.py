@@ -14,7 +14,6 @@ Format: flat np.savez keyed by pytree paths — dependency-free and stable.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Dict, Tuple
 
@@ -23,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from gelslim_depth_tpu.config import GelslimConfig
-from gelslim_depth_tpu.models.unet import UNetConfig
 from gelslim_depth_tpu.train.ema import EmaState
 from gelslim_depth_tpu.train.steps import TrainState
 

@@ -42,7 +42,6 @@ from gelslim_depth_tpu.config import GelslimConfig
 from gelslim_depth_tpu.data.dataset import BakedDataset, BatchIterator
 from gelslim_depth_tpu.train import checkpoint as ckpt
 from gelslim_depth_tpu.train.steps import (
-    TrainState,
     create_train_state,
     make_eval_step,
     make_optimizer,

@@ -240,3 +240,35 @@ class TestMultiHost:
         np.testing.assert_array_equal(np.asarray(arr), x)
         # sharded over the data axis
         assert len(arr.sharding.device_set) == 8
+
+
+def test_dp_scan_epoch_matches_single(rng):
+    """A whole DP epoch in one scan (sharding-constrained batches) matches
+    the single-device scan epoch."""
+    from gelslim_depth_tpu.parallel import make_mesh, replicate
+    from gelslim_depth_tpu.train.steps import make_train_epoch_fn
+
+    sd = make_state_dict(rng, DIMS)
+    params, stats = import_torch_state_dict(sd, CFG)
+    opt = make_optimizer()
+
+    images = jnp.asarray(rng.uniform(0, 1, (24, 3, 16, 24)).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(-0.9, 0, (24, 1, 16, 24)).astype(np.float32))
+    perm = jnp.asarray(np.arange(24).reshape(3, 8), jnp.int32)
+    masks = jnp.ones((3, 8), bool)
+
+    def fresh():
+        return TrainState(params, stats, opt.init(params), ema_init(params), jnp.zeros((), jnp.int32))
+
+    single = jax.jit(make_train_epoch_fn(CFG, opt))
+    s_state, s_loss = single(fresh(), images, depths, perm, masks)
+
+    mesh = make_mesh(8)
+    dp = jax.jit(make_train_epoch_fn(CFG, opt, mesh=mesh))
+    d_state, d_loss = dp(replicate(mesh, fresh()), replicate(mesh, images),
+                         replicate(mesh, depths), replicate(mesh, perm), replicate(mesh, masks))
+    np.testing.assert_allclose(float(d_loss), float(s_loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(d_state.params["inc"]["conv1_w"]), np.asarray(s_state.params["inc"]["conv1_w"]),
+        rtol=1e-3, atol=2e-4,  # cross-device reduction order through 3 Adam steps
+    )

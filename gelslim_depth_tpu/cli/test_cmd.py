@@ -29,6 +29,12 @@ def run(argv):
     p.add_argument("--weights_dir", default="train_output/weights")
     p.add_argument("--output_dir", default="test_output")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--config_module", default=None,
+                   help="reference-style generated config (.py path or import "
+                        "path) to use instead of a <weights_dir> json artifact")
+    p.add_argument("--torch_pth", default=None,
+                   help="load weights from a torch .pth state dict (e.g. the "
+                        "published unet_bigdata.pth) instead of a .npz checkpoint")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -50,8 +56,20 @@ def run(argv):
         pt_files = [f for name in args.objects for f in pt_files if name in f]
     pt_files = pt_files[:5]
 
-    config, params, stats = load_checkpoint(args.weights_dir, args.weights_name)
-    predictor = Predictor(config, params, stats)
+    if args.config_module or args.torch_pth:
+        # reference-artifact migration path: generated config .py +
+        # published torch weights, no retraining or conversion step needed
+        from gelslim_depth_tpu.config import GelslimConfig
+
+        if args.config_module:
+            config = GelslimConfig.from_python_module(args.config_module)
+        else:
+            config, _, _ = load_checkpoint(args.weights_dir, args.weights_name)
+        pth = args.torch_pth or (config.weights_path + args.weights_name + ".pth")
+        predictor = Predictor.from_torch_checkpoint(pth, config)
+    else:
+        config, params, stats = load_checkpoint(args.weights_dir, args.weights_name)
+        predictor = Predictor(config, params, stats)
 
     rng = np.random.RandomState(args.seed)
     n_show = 5

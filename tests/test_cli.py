@@ -102,3 +102,36 @@ def test_assemble_object_lists(tmp_path):
     # substring exclusion
     train2, _, _, *_ = assemble_object_lists(str(data), exclude_objects=["a"])
     assert train2 == ["c_train.pt"]
+
+
+def test_cli_reference_artifact_migration(tmp_path, monkeypatch):
+    """test command consuming a reference-style config .py + torch .pth —
+    the zero-conversion migration path for existing reference users."""
+    import torch
+
+    from gelslim_depth_tpu.config import GelslimConfig
+    from tests.torch_fixture import make_state_dict
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.RandomState(0)
+    dims = (4, 8)
+    cfg = GelslimConfig(
+        weights_name="mig", CNN_dimensions=dims, input_tactile_image_size=(8, 11),
+        depth_normalization_parameters=(-1.9, 0.0), use_difference_image=True,
+        image_normalization_method="0_255_to_0_1", norm_scale=0.9,
+    )
+    cfg.emit_python_config(str(tmp_path / "config_mig.py"))
+    sd = make_state_dict(rng, dims)
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, str(tmp_path / "mig.pth"))
+
+    data = tmp_path / "data" / "test_data"
+    os.makedirs(data)
+    obj = make_synthetic_object(rng, n=6, image_size=(16, 22))
+    save_pt(obj, str(data / "thing_test.pt"))
+
+    assert cli_main([
+        "test", "mig", "0", "test_data", "--data_path", str(tmp_path / "data"),
+        "--config_module", str(tmp_path / "config_mig.py"),
+        "--torch_pth", str(tmp_path / "mig.pth"),
+    ]) == 0
+    assert os.path.exists(tmp_path / "test_output" / "depth_predictions.png")

@@ -27,9 +27,20 @@ from gelslim_depth_tpu.train.steps import make_train_step, make_eval_step
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
-    """1-D device mesh over the first n (default all) local devices."""
+    """1-D device mesh over the first n (default all) local devices.
+
+    Raises if fewer than n_devices are available — a silently smaller mesh
+    would make 'n-device' tests/dryruns quietly run on one chip."""
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"make_mesh: requested {n_devices} devices but only "
+                f"{len(devices)} {devices[0].platform} device(s) are visible; "
+                "for a virtual CPU mesh set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+                "and JAX_PLATFORMS=cpu before JAX initializes"
+            )
         devices = devices[:n_devices]
     return jax.sharding.Mesh(devices, (axis_name,))
 

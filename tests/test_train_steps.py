@@ -272,3 +272,15 @@ def test_dp_scan_epoch_matches_single(rng):
         np.asarray(d_state.params["inc"]["conv1_w"]), np.asarray(s_state.params["inc"]["conv1_w"]),
         rtol=1e-3, atol=2e-4,  # cross-device reduction order through 3 Adam steps
     )
+
+
+def test_make_mesh_refuses_undersized_mesh():
+    """make_mesh must raise rather than silently build a smaller mesh when
+    fewer devices exist than requested (round-1 gate failure mode: an
+    '8-device' dryrun quietly running on 1 chip)."""
+    import pytest
+
+    from gelslim_depth_tpu.parallel import make_mesh
+
+    with pytest.raises(RuntimeError, match="requested 9 devices"):
+        make_mesh(9)  # conftest pins an 8-virtual-device CPU backend

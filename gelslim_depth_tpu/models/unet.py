@@ -21,7 +21,10 @@ affect numerical parity — see SURVEY.md section 2 #1):
 - Down = MaxPool(maxpool_size) + DoubleConv (ref unet.py:22-31).
 - Up = ConvTranspose(in -> in//2, k=kernel_size-1, stride=upconv_stride,
   bias=True), pad output to the skip's spatial size (left/top gets diff//2),
-  channel-concat [skip, up], DoubleConv (ref unet.py:33-49,75).
+  channel-concat [skip, up], DoubleConv (ref unet.py:33-49,75). NOTE: the
+  reference's Up does NOT forward kernel_size to its DoubleConv
+  (ref unet.py:37: `DoubleConv(in_channels, out_channels)`), so decoder
+  convs are ALWAYS 3x3 even when the encoder uses kernel_size != 3.
 - OutConv = 1x1 conv with bias (ref unet.py:51-57).
 - The reference accepts a `bilinear` flag but never uses it; we drop it.
 - The reference hard-wires ReLU despite recording an `activation_func`
@@ -130,7 +133,9 @@ def init_unet(key: jax.Array, cfg: UNetConfig) -> Tuple[Params, BatchStats]:
     for j, i in enumerate(range(len(dims) - 1, 0, -1)):
         cin, cout = dims[i], dims[i - 1]
         kw_, kb_, kd_ = jax.random.split(next(ki), 3)
-        dc_params, dc_stats = _double_conv_init(kd_, cin, cout, cfg.kernel_size)
+        # decoder DoubleConvs are always k=3: the reference's Up never
+        # forwards kernel_size to DoubleConv (ref unet.py:37)
+        dc_params, dc_stats = _double_conv_init(kd_, cin, cout, 3)
         params[f"up_{j}"] = {
             # stored in torch layout (in, out, kh, kw) transposed to
             # (kh, kw, out, in) for lax.conv_transpose(transpose_kernel=True)

@@ -18,7 +18,7 @@ def make_state_dict(rng: np.random.RandomState, dims=(8, 16, 32), n_channels=3, 
     """Random reference-layout state_dict (numpy float32)."""
     sd = {}
 
-    def dc(prefix, cin, cout):
+    def dc(prefix, cin, cout, k=k):
         sd[f"{prefix}.0.weight"] = rng.randn(cout, cin, k, k).astype(np.float32) * 0.1
         sd[f"{prefix}.1.weight"] = rng.uniform(0.5, 1.5, cout).astype(np.float32)
         sd[f"{prefix}.1.bias"] = rng.randn(cout).astype(np.float32) * 0.1
@@ -38,7 +38,9 @@ def make_state_dict(rng: np.random.RandomState, dims=(8, 16, 32), n_channels=3, 
         cin, cout = dims[i], dims[i - 1]
         sd[f"up.{j}.up.weight"] = rng.randn(cin, cin // 2, up_k, up_k).astype(np.float32) * 0.1
         sd[f"up.{j}.up.bias"] = rng.randn(cin // 2).astype(np.float32) * 0.1
-        dc(f"up.{j}.conv.double_conv", cin, cout)
+        # reference Up never forwards kernel_size to its DoubleConv
+        # (ref unet.py:37) -> decoder convs are always 3x3
+        dc(f"up.{j}.conv.double_conv", cin, cout, k=3)
     sd["outc.conv.weight"] = rng.randn(n_classes, dims[0], 1, 1).astype(np.float32) * 0.1
     sd["outc.conv.bias"] = rng.randn(n_classes).astype(np.float32) * 0.1
     return sd

@@ -51,6 +51,12 @@ def parse_args(argv):
                    help="continue from <output_dir>/weights/train_state.npz")
     p.add_argument("--dims", type=int, nargs="+", default=[64, 128, 256, 512, 1024])
     p.add_argument("--downsample_factor", type=float, default=0.5)
+    p.add_argument("--early_stop_mode", choices=["reference", "primed"], default="reference",
+                   help="'reference' keeps the reference's zero-initialized "
+                        "SMA window (stops after ~threshold+1 epochs unless "
+                        "--train_indefinitely); 'primed' seeds the window "
+                        "with the first validation loss so early stop fires "
+                        "only on a real upward trend")
     return p.parse_args(argv)
 
 
@@ -113,6 +119,7 @@ def run(argv):
         batch_size=args.batch_size,
         training_learning_rate=args.learning_rate,
         train_indefinitely=args.train_indefinitely,
+        early_stop_mode=args.early_stop_mode,
         use_difference_image=args.use_difference_image,
         activation_func=args.activation_func,
         CNN_dimensions=tuple(args.dims),

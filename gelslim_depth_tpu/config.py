@@ -43,6 +43,12 @@ class GelslimConfig:
     train_indefinitely: bool = False
     save_at_epochs: List[int] = dataclasses.field(default_factory=lambda: [200])
     plot_every_epoch: int = 1
+    # 'reference' preserves the reference's zero-initialized SMA window
+    # (which trips early stop after ~threshold+1 epochs unconditionally,
+    # ref train_unet.py:316-322 — why the published run needed
+    # train_indefinitely); 'primed' seeds the window with the first
+    # validation loss so the stop only fires on a genuine upward trend.
+    early_stop_mode: str = "reference"
 
     # data processing options (:21-25)
     depth_image_blur_kernel: int = 1

@@ -85,12 +85,40 @@ def save_weights(
     return os.path.join(ckpt_dir, f"{name}.npz")
 
 
+def _resolve_checkpoint_name(ckpt_dir: str) -> str:
+    """Pick the checkpoint name in a save_weights directory.
+
+    Directories produced by long runs legitimately contain the best-val
+    checkpoint PLUS epoch-pinned snapshots `<name>_epoch<e>` (ref
+    train_unet.py:485-490 policy), so "exactly one .json" is wrong. Rule:
+    if one candidate is the bare weights_name and every other candidate is
+    that name plus an `_epoch<N>` suffix, prefer the bare name (the
+    best-validation weights). Anything else is genuinely ambiguous."""
+    cands = sorted(
+        f[:-5]
+        for f in os.listdir(ckpt_dir)
+        if f.endswith(".json") and not f.endswith("state.json")
+    )
+    if not cands:
+        raise FileNotFoundError(f"no checkpoint .json in {ckpt_dir}")
+    if len(cands) == 1:
+        return cands[0]
+    import re
+
+    bases = {re.sub(r"_epoch\d+$", "", c) for c in cands}
+    if len(bases) == 1:
+        base = bases.pop()
+        if base in cands:
+            return base
+        # only epoch-pinned snapshots: take the latest epoch
+        return max(cands, key=lambda c: int(re.search(r"_epoch(\d+)$", c).group(1)))
+    raise ValueError(f"ambiguous checkpoint dir {ckpt_dir}: {cands}; pass name=")
+
+
 def load_checkpoint(ckpt_dir: str, name: str = None) -> Tuple[GelslimConfig, Any, Any]:
     """Load (config, params, batch_stats) from a save_weights directory."""
     if name is None:
-        cands = [f[:-5] for f in os.listdir(ckpt_dir) if f.endswith(".json") and not f.endswith("state.json")]
-        assert len(cands) == 1, f"ambiguous checkpoint dir {ckpt_dir}: {cands}; pass name="
-        name = cands[0]
+        name = _resolve_checkpoint_name(ckpt_dir)
     config = GelslimConfig.from_json(os.path.join(ckpt_dir, f"{name}.json"))
     from gelslim_depth_tpu.models.unet import init_unet
 

@@ -8,12 +8,15 @@ Functional rebuild of the reference's module-level training script
   average of validation loss; if the SMA rises relative to the previous
   epoch's SMA for more than validation_loss_count_threshold=5 consecutive
   epochs, stop — unless train_indefinitely, which only announces it
-  (:316-322, 459-475). Reference quirk preserved: the window initializes
-  to zeros, so while it fills the SMA monotonically rises and the counter
-  trips at epoch threshold+1 for any positive loss — i.e. without
-  train_indefinitely the reference stops after 6 epochs unconditionally,
-  which is why the published unet_bigdata run used train_indefinitely
-  (config_unet_bigdata.py:14).
+  (:316-322, 459-475). Reference quirk preserved BY DEFAULT: the window
+  initializes to zeros, so while it fills the SMA monotonically rises and
+  the counter trips at epoch threshold+1 for any positive loss — i.e.
+  without train_indefinitely the reference stops after 6 epochs
+  unconditionally, which is why the published unet_bigdata run used
+  train_indefinitely (config_unet_bigdata.py:14). Set
+  config.early_stop_mode='primed' (CLI --early_stop_mode primed) to seed
+  the window with the first validation loss instead, making the early
+  stop respond only to a genuine upward trend.
 - checkpoints: EMA weights + frozen config at every new *raw* validation
   loss minimum (:476-484); epoch-pinned snapshots at save_at_epochs when
   train_indefinitely (:485-490). Additionally (new here): full train-state
@@ -251,6 +254,25 @@ class Trainer:
                 losses.append(self._eval_step(self.state, img, dep))
         return float(np.mean([float(l) for l in jax.device_get(losses)])) if losses else 0.0
 
+    def _early_stop_update(self, val_loss: float) -> bool:
+        """Advance the SMA window with this epoch's validation loss; True
+        when the upward-SMA counter has tripped (ref train_unet.py:459-475).
+        early_stop_mode='primed' seeds the window with the first loss so the
+        counter responds only to a genuine upward trend (the reference's
+        zero-initialized window trips at epoch threshold+1 unconditionally)."""
+        cfg = self.config
+        if cfg.early_stop_mode == "primed" and self.epoch == 0:
+            self._val_window[:] = val_loss
+            self._prev_sma = float("inf")
+        self._val_window[self.epoch % cfg.val_loss_SMA_window] = val_loss
+        sma = float(self._val_window.mean())
+        if sma > self._prev_sma:
+            self._upward_counter += 1
+        else:
+            self._upward_counter = 0
+        self._prev_sma = sma
+        return self._upward_counter > cfg.validation_loss_count_threshold
+
     def _save_best(self):
         self._log("Validation loss is at a minimum. Saving the model")
         ckpt.save_weights(
@@ -279,19 +301,12 @@ class Trainer:
             self.history["test_loss"].append(test_loss)
 
             # SMA early-stop bookkeeping (ref :459-475)
-            self._val_window[self.epoch % cfg.val_loss_SMA_window] = val_loss
-            sma = float(self._val_window.mean())
-            if sma > self._prev_sma:
-                self._upward_counter += 1
-            else:
-                self._upward_counter = 0
-            if self._upward_counter > cfg.validation_loss_count_threshold:
+            if self._early_stop_update(val_loss):
                 if cfg.train_indefinitely:
                     msg = f"Validation loss stopped decreasing at epoch {self.epoch + 1}"
                     self._log(msg)
                 else:
                     stop = True
-            self._prev_sma = sma
 
             if val_loss < self.min_validation_loss:
                 self._save_best()

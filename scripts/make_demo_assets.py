@@ -75,7 +75,12 @@ def main():
     from gelslim_depth_tpu.data.synthetic import make_synthetic_object
     from gelslim_depth_tpu.meshgen.stl import save_stl_binary
 
-    root = sys.argv[1] if len(sys.argv) > 1 else "demo"
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("workspace_dir", nargs="?", default="demo",
+                   help="output workspace (default ./demo)")
+    root = p.parse_args().workspace_dir
     mesh_dir = os.path.join(root, "mesh")
     data_dir = os.path.join(root, "data")
     os.makedirs(mesh_dir, exist_ok=True)

@@ -188,3 +188,73 @@ def test_scan_epochs_match_per_step_loop(tmp_path, datasets):
                      enable_plots=False, seed=0, scan_epochs=scan)
         losses[scan] = tr.fit(max_epochs=3)["train_loss"]
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5, atol=1e-6)
+
+
+def test_primed_early_stop_semantics(tmp_path, datasets):
+    """early_stop_mode='primed' seeds the SMA window with the first val
+    loss: flat or decreasing losses never trip the counter (the reference
+    zero-window quirk trips at threshold+1 unconditionally, covered by
+    test_early_stop_counter), while a genuine sustained rise still stops."""
+    train, val = datasets
+
+    def run_sim(mode, losses, window=3, threshold=2):
+        cfg = small_cfg(val_loss_SMA_window=window,
+                        validation_loss_count_threshold=threshold,
+                        early_stop_mode=mode)
+        tr = Trainer(cfg, train, val, val, output_dir=str(tmp_path), enable_plots=False)
+        for e, L in enumerate(losses):
+            tr.epoch = e
+            if tr._early_stop_update(L):
+                return e  # epoch at which it would stop
+        return None
+
+    flat = [0.5] * 20
+    falling = [1.0 / (1 + e) for e in range(20)]
+    rising = [0.1] * 3 + [0.1 * 1.5 ** e for e in range(17)]
+
+    # reference mode: trips on ANY positive flat/falling loss as the
+    # zero-initialized window fills
+    assert run_sim("reference", flat) is not None
+    # primed mode: no spurious stop on flat or falling loss...
+    assert run_sim("primed", flat) is None
+    assert run_sim("primed", falling) is None
+    # ...but a genuine sustained rise still stops
+    assert run_sim("primed", rising) is not None
+
+
+def test_from_checkpoint_after_epoch_snapshots(tmp_path, datasets):
+    """Predictor.from_checkpoint(dir) must resolve the best-val weights in a
+    directory that also holds epoch-pinned snapshots (train_indefinitely
+    past a save_at_epochs point) — round-1 regression."""
+    train, val = datasets
+    cfg = small_cfg(train_indefinitely=True, save_at_epochs=[1])
+    tr = Trainer(cfg, train, val, val, output_dir=str(tmp_path), enable_plots=False)
+    tr.fit(max_epochs=3)
+    wdir = os.path.join(str(tmp_path), "weights")
+    assert os.path.exists(os.path.join(wdir, "tiny_epoch1.npz"))  # snapshot present
+    pred = Predictor.from_checkpoint(wdir)  # formerly: assert len(cands)==1 crash
+    assert pred.config.weights_name == "tiny"
+    out = pred.predict_depth_from_RGB(np.full((1, 3, 32, 43), 127.0, np.float32), (32, 43))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_checkpoint_name_resolution_rules(tmp_path):
+    from gelslim_depth_tpu.train.checkpoint import _resolve_checkpoint_name
+
+    d = str(tmp_path)
+
+    def touch(name):
+        open(os.path.join(d, name), "w").write("{}")
+
+    touch("model.json")
+    assert _resolve_checkpoint_name(d) == "model"
+    touch("model_epoch200.json")
+    touch("model_epoch400.json")
+    assert _resolve_checkpoint_name(d) == "model"  # bare name wins
+    os.remove(os.path.join(d, "model.json"))
+    assert _resolve_checkpoint_name(d) == "model_epoch400"  # latest epoch
+    touch("other.json")
+    import pytest
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        _resolve_checkpoint_name(d)

@@ -38,7 +38,16 @@ def parse_args(argv):
     p.add_argument("--limit_objects", type=int, default=None,
                    help="Debug: truncate every object list to N entries")
     p.add_argument("--data_parallel", action="store_true",
-                   help="Shard training over all local devices")
+                   help="Shard training over all devices (all chips of the "
+                        "pod slice when launched multi-process)")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="Multi-host: <host0>:<port> of process 0 "
+                        "(jax.distributed coordinator). On Cloud TPU pod "
+                        "slices this can be omitted — autodetected.")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="Multi-host: total number of processes (hosts)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="Multi-host: this host's process index")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--plots", action="store_true",
                    help="live matplotlib triptychs + loss curves per epoch "
@@ -96,6 +105,15 @@ def assemble_object_lists(dataset_path: str, exclude_objects=None, limit=None):
 
 def run(argv):
     args = parse_args(argv)
+    # multi-host init must precede ANY backend-touching JAX call
+    # (parallel/multihost.py contract; SURVEY.md section 5.8)
+    from gelslim_depth_tpu.parallel import multihost
+
+    multihost.initialize(
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
     import jax
     import jax.numpy as jnp
 

@@ -20,8 +20,16 @@ __all__ = [
 
 from gelslim_depth_tpu.parallel.multihost import (
     initialize,
+    is_initialized,
     process_local_indices,
+    process_local_rows,
     global_batch_from_local,
 )
 
-__all__ += ["initialize", "process_local_indices", "global_batch_from_local"]
+__all__ += [
+    "initialize",
+    "is_initialized",
+    "process_local_indices",
+    "process_local_rows",
+    "global_batch_from_local",
+]

@@ -1,22 +1,26 @@
-"""Multi-host (multi-process) utilities.
+"""Multi-host (multi-process) execution: pod-slice data-parallel training.
 
-The reference is strictly single-process (SURVEY.md section 5.8). For pod
-slices, JAX's runtime contract is: one process per host, each host feeds
-its local shard of the global batch, and globally-sharded jax.Arrays are
-assembled from process-local data. These helpers wrap that contract:
+The reference is strictly single-process (SURVEY.md section 5.8, ref
+train_utils/train_unet.py:194 — one CUDA device string, no torch.distributed
+anywhere). On TPU pod slices JAX's runtime contract is: one process per
+host, `jax.distributed.initialize()` BEFORE any backend touch, each host
+feeds only its local shard of the global batch, and globally-sharded
+jax.Arrays are assembled from process-local data. These helpers implement
+that contract; `train/loop.py` consumes them automatically whenever
+`jax.process_count() > 1` (see Trainer._global_batches), and the train CLI
+exposes `--coordinator_address/--num_processes/--process_id`.
 
-- initialize(): jax.distributed.initialize() guarded so single-process
-  (and test) runs are no-ops.
-- global_batch_from_local(mesh, local_batch): wraps
-  jax.make_array_from_process_local_data — each process passes only its
-  own samples; the result is one global array sharded over the mesh's
-  'data' axis with collectives riding ICI.
-- process_local_indices(n, batch): the deterministic split of a global
-  index range across processes, for per-host dataset sharding.
+Launch recipe (one command per host of the slice; on Cloud TPU the three
+flags can be omitted — jax.distributed autodetects from the metadata
+server):
 
-Single-process behavior degrades to plain shard_batch, which is what the
-tests (8 virtual devices, 1 process) exercise; multi-host execution uses
-the same code path with process_count > 1.
+    gelslim-depth-tpu train <name> 0 --data_parallel \
+        --coordinator_address <host0>:8476 \
+        --num_processes <n_hosts> --process_id <this_host>
+
+Collectives (gradient psum, global batch-norm reductions) ride ICI within
+the slice — they are inserted by XLA from the NamedSharding annotations in
+parallel/mesh.py; there is nothing NCCL-like to configure.
 """
 
 from __future__ import annotations
@@ -28,18 +32,55 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def initialize(coordinator_address: Optional[str] = None, **kw) -> None:
-    """jax.distributed.initialize, tolerant of single-process runs."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    if coordinator_address is None:
-        return  # single process: nothing to do
-    jax.distributed.initialize(coordinator_address=coordinator_address, **kw)
+def is_initialized() -> bool:
+    """True when jax.distributed has been initialized in this process.
+
+    Reads the distributed client state directly — deliberately NOT via
+    jax.process_count(), which would *initialize the backend* as a side
+    effect and thereby make a later jax.distributed.initialize impossible
+    (the round-1 bug in this module's guard)."""
+    from jax._src import distributed
+
+    return distributed.global_state.client is not None
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kw,
+) -> None:
+    """jax.distributed.initialize, tolerant of single-process runs.
+
+    Must be called before any JAX backend use (device queries, jit, ...).
+    With no arguments it still calls jax.distributed.initialize when the
+    environment carries coordination config (Cloud TPU metadata, SLURM,
+    JAX_COORDINATOR_ADDRESS), because jax.distributed autodetects those;
+    with neither arguments nor environment it is a no-op, which is what
+    single-process tests and the single-chip CLI paths exercise."""
+    if is_initialized():
+        return
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kw,
+        )
+        return
+    import os
+
+    if any(v in os.environ for v in ("JAX_COORDINATOR_ADDRESS", "SLURM_JOB_ID")):
+        jax.distributed.initialize(**kw)
 
 
 def process_local_indices(n_global: int, *, process_index: Optional[int] = None) -> np.ndarray:
     """Contiguous per-process slice of range(n_global) (last process takes
-    the remainder)."""
+    the remainder). For per-host dataset sharding when the dataset is too
+    large to replicate host-side; the Trainer's default multi-host path
+    replicates the baked dataset instead (a few GB) so that global batch
+    composition — and therefore training math — is bit-identical to the
+    single-process run."""
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count()
     per = n_global // pc
@@ -48,8 +89,33 @@ def process_local_indices(n_global: int, *, process_index: Optional[int] = None)
     return np.arange(start, end)
 
 
+def process_local_rows(
+    global_batch_size: int,
+    *,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> slice:
+    """The contiguous row-slice of a global batch that THIS process feeds.
+
+    jax.devices() orders devices by process index, and parallel/mesh.py
+    builds its 1-D mesh in that order, so the global batch's leading axis
+    is laid out process 0's rows first. Requires the global batch to divide
+    evenly across processes (the Trainer pads batches to a multiple of the
+    global device count, and the process count divides the device count)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if global_batch_size % pc:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by {pc} processes"
+        )
+    per = global_batch_size // pc
+    return slice(pi * per, (pi + 1) * per)
+
+
 def global_batch_from_local(mesh: Mesh, local_batch, axis_name: str = "data"):
     """Assemble a globally batch-sharded jax.Array from each process's
-    local shard (jax.make_array_from_process_local_data)."""
+    local shard (jax.make_array_from_process_local_data). Each process
+    passes ONLY its own rows; the result behaves like one (global_bs, ...)
+    array sharded over the mesh's data axis."""
     sharding = NamedSharding(mesh, P(axis_name, *([None] * (np.ndim(local_batch) - 1))))
     return jax.make_array_from_process_local_data(sharding, np.asarray(local_batch))

@@ -29,6 +29,15 @@ Functional rebuild of the reference's module-level training script
 Data-parallel: pass a Mesh and the loop runs the sharded step with
 static-shape padded tail batches (masked loss) — state replicated, batch
 sharded, collectives inserted by XLA.
+
+Multi-host: when jax.process_count() > 1 (pod slice, one process per
+host), the same mesh path switches to per-process feeding automatically:
+every process holds the baked dataset host-side, shares the epoch shuffle
+through the seed, slices out its own rows of each global batch
+(parallel.multihost.process_local_rows), and assembles the global sharded
+batch with jax.make_array_from_process_local_data — so multi-host batch
+composition, loss, and batch-norm math are identical to the
+single-process run. Only process 0 writes checkpoints/logs/plots.
 """
 
 from __future__ import annotations
@@ -101,6 +110,12 @@ class Trainer:
         # tunneled TPU terminals, per-call overhead on the many-output
         # train step was measured in minutes — this amortizes it away.
         self.scan_epochs = scan_epochs and mesh is None
+        # multi-host: feed per-process local shards of each global batch
+        # (assembled via make_array_from_process_local_data); process 0
+        # owns all filesystem side effects
+        self.multihost = mesh is not None and jax.process_count() > 1
+        self.is_main = jax.process_index() == 0
+        self._host_ds_cache: Dict[int, tuple] = {}
 
         self.weights_dir = os.path.join(output_dir, "weights")
         self.loss_values_path = os.path.join(output_dir, "loss_values")
@@ -188,21 +203,62 @@ class Trainer:
 
         # write the frozen config artifacts up front, like the reference
         # writing config_<name>.py before training starts (:253-303)
-        config.save_json(os.path.join(self.weights_dir, f"{config.weights_name}.json"))
-        config.emit_python_config(
-            os.path.join(self.weights_dir, f"config_{config.weights_name}.py")
-        )
+        if self.is_main:
+            config.save_json(os.path.join(self.weights_dir, f"{config.weights_name}.json"))
+            config.emit_python_config(
+                os.path.join(self.weights_dir, f"config_{config.weights_name}.py")
+            )
 
     # ------------------------------------------------------------------
     def _log(self, msg: str):
         self.log_fn(msg)
-        with open(self.loss_file, "a") as f:
-            f.write(msg + "\n")
+        if self.is_main:
+            with open(self.loss_file, "a") as f:
+                f.write(msg + "\n")
 
     def _shard(self, *arrays):
         from gelslim_depth_tpu.parallel import shard_batch
 
         return tuple(shard_batch(self.mesh, a) for a in arrays)
+
+    def _host_arrays(self, ds: BakedDataset):
+        """Host-side numpy views of a dataset's tensors (multi-host feeding
+        gathers on the host, one device_get per dataset per run)."""
+        key = id(ds)
+        if key not in self._host_ds_cache:
+            self._host_ds_cache[key] = (
+                np.asarray(ds.tactile_image),
+                np.asarray(ds.depth_image),
+            )
+        return self._host_ds_cache[key]
+
+    def _mesh_batches(self, ds: BakedDataset, it: BatchIterator):
+        """Device-ready (images, targets, mask) batches for the mesh path.
+
+        Single-process: shard the full batch across local devices.
+        Multi-host: identical global batch composition (same seed-driven
+        shuffle on every process), but each process materializes only its
+        own row-slice and contributes it via
+        jax.make_array_from_process_local_data."""
+        if not self.multihost:
+            for img, dep, mask in it.padded_epoch(pad_to_multiple_of=self.n_shard):
+                yield self._shard(img, dep, mask)
+            return
+        from gelslim_depth_tpu.parallel import (
+            global_batch_from_local,
+            process_local_rows,
+        )
+
+        perm, masks = it.padded_epoch_indices(pad_to_multiple_of=self.n_shard)
+        images, depths = self._host_arrays(ds)
+        rows = process_local_rows(perm.shape[1])
+        for b in range(perm.shape[0]):
+            sel = perm[b, rows]
+            yield (
+                global_batch_from_local(self.mesh, images[sel]),
+                global_batch_from_local(self.mesh, depths[sel]),
+                global_batch_from_local(self.mesh, masks[b, rows]),
+            )
 
     def _train_epoch(self, seed: int) -> float:
         # per-batch losses stay on device; ONE host readback per epoch
@@ -217,8 +273,7 @@ class Trainer:
             )
             return float(loss)
         if self.mesh is not None:
-            for img, dep, mask in it.padded_epoch(pad_to_multiple_of=self.n_shard):
-                img, dep, mask = self._shard(img, dep, mask)
+            for img, dep, mask in self._mesh_batches(self.train_ds, it):
                 self.state, loss = self._train_step(self.state, img, dep, mask)
                 losses.append(loss)
         elif self.static_batch_shapes:
@@ -243,8 +298,7 @@ class Trainer:
                 )
             )
         if self.mesh is not None:
-            for img, dep, mask in it.padded_epoch(pad_to_multiple_of=self.n_shard):
-                img, dep, mask = self._shard(img, dep, mask)
+            for img, dep, mask in self._mesh_batches(ds, it):
                 losses.append(self._eval_step(self.state, img, dep, mask))
         elif self.static_batch_shapes:
             for img, dep, mask in it.padded_epoch():
@@ -275,6 +329,8 @@ class Trainer:
 
     def _save_best(self):
         self._log("Validation loss is at a minimum. Saving the model")
+        if not self.is_main:
+            return
         ckpt.save_weights(
             self.weights_dir, self.config,
             jax.device_get(self.state.ema.shadow),
@@ -312,7 +368,7 @@ class Trainer:
                 self._save_best()
                 self.min_validation_loss = val_loss
 
-            if cfg.train_indefinitely and self.epoch in cfg.save_at_epochs:
+            if cfg.train_indefinitely and self.epoch in cfg.save_at_epochs and self.is_main:
                 ckpt.save_weights(
                     self.weights_dir, self.config,
                     jax.device_get(self.state.ema.shadow),
@@ -328,7 +384,7 @@ class Trainer:
             )
             self._log(f"Time for epoch: {time.time() - t0}")
 
-            if self.enable_plots and (self.epoch % max(cfg.plot_every_epoch, 1) == 0):
+            if self.enable_plots and self.is_main and (self.epoch % max(cfg.plot_every_epoch, 1) == 0):
                 self._plot_curves()
                 self._plot_samples()
 
@@ -344,6 +400,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_resume_state(self, name: str = "train_state") -> str:
+        if not self.is_main:
+            return ""
         return ckpt.save_train_state(self.weights_dir, jax.device_get(self.state), name=name)
 
     def load_resume_state(self, name: str = "train_state"):

@@ -92,6 +92,13 @@ def _rebuild_parameter(data, requires_grad=True, backward_hooks=None):
     return data
 
 
+class _OrderedDictShim(dict):
+    """Stand-in for collections.OrderedDict in torch pickles. A real
+    subclass (not plain dict) because torch state_dicts BUILD the dict
+    with a `_metadata` attribute state — pickle's load_build does
+    `inst.__dict__.update(state)`, which plain dict instances lack."""
+
+
 class _TorchFreeUnpickler(pickle.Unpickler):
     """Resolves the torch globals a torch.save pickle references onto local
     numpy-producing equivalents, and storages onto zip members."""
@@ -114,7 +121,7 @@ class _TorchFreeUnpickler(pickle.Unpickler):
                 return lambda *a, **k: None
             raise pickle.UnpicklingError(f"unsupported torch global {module}.{name}")
         if module == "collections" and name == "OrderedDict":
-            return dict
+            return _OrderedDictShim
         if module in ("numpy", "numpy.core.multiarray", "numpy._core.multiarray"):
             import importlib
 

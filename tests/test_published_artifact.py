@@ -1,0 +1,149 @@
+"""Gate against the PUBLISHED reference artifact (unet_bigdata.pth).
+
+The reference ships its trained weights externally (ref README.md:180-181:
+download `unet_bigdata.pth` into `train_output/weights/`, paired with the
+checked-in `gelslim_depth/config/config_unet_bigdata.py`). When that file
+is present, this test imports it through models/torch_import.py, runs the
+fused TPU inference graph, and asserts the BASELINE.json parity target —
+<0.05 mm RMSE against the reference's own torch chain — at the trained
+160x213 resolution and at full native 320x427 output.
+
+When the artifact is absent (it is not redistributable inside this repo),
+the test SKIPS LOUDLY with instructions, so the day the file is available
+the gate runs with zero code changes:
+
+    export GELSLIM_PUBLISHED_WEIGHTS=/path/to/unet_bigdata.pth
+    python -m pytest tests/test_published_artifact.py -v
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE_ROOT = "/root/reference"
+if REFERENCE_ROOT not in sys.path:
+    sys.path.append(REFERENCE_ROOT)
+
+try:  # reference image_utils imports torchvision at module scope (blur only)
+    import torchvision  # noqa: F401
+except ImportError:
+    tv = types.ModuleType("torchvision")
+    tv_t = types.ModuleType("torchvision.transforms")
+    tv_f = types.ModuleType("torchvision.transforms.functional")
+
+    def _no_blur(*a, **k):  # pragma: no cover
+        raise NotImplementedError("torchvision not installed")
+
+    tv_f.gaussian_blur = _no_blur
+    tv.transforms = tv_t
+    tv_t.functional = tv_f
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tv_t
+    sys.modules["torchvision.transforms.functional"] = tv_f
+
+SEARCH_PATHS = [
+    os.environ.get("GELSLIM_PUBLISHED_WEIGHTS", ""),
+    # the reference's documented install location, relative to repo and cwd
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "artifacts", "unet_bigdata.pth"),
+    os.path.join(REFERENCE_ROOT, "train_output", "weights", "unet_bigdata.pth"),
+    os.path.join(REFERENCE_ROOT, "unet_bigdata.pth"),
+    "train_output/weights/unet_bigdata.pth",
+]
+
+
+def _find_published_weights():
+    for p in SEARCH_PATHS:
+        if p and os.path.exists(p):
+            return p
+    return None
+
+
+WEIGHTS = _find_published_weights()
+
+pytestmark = pytest.mark.skipif(
+    WEIGHTS is None,
+    reason=(
+        "PUBLISHED ARTIFACT GATE SKIPPED: unet_bigdata.pth not found. "
+        "Download the published weights (reference README.md:180-181) and "
+        "set GELSLIM_PUBLISHED_WEIGHTS=/path/to/unet_bigdata.pth (or drop "
+        "it in artifacts/) to run the <0.05 mm RMSE parity gate against "
+        "the real trained model."
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def artifact():
+    import torch
+
+    from gelslim_depth_tpu.config import GelslimConfig
+    from gelslim_depth_tpu.inference import Predictor
+
+    cfg = GelslimConfig.from_python_module(
+        os.path.join(REFERENCE_ROOT, "gelslim_depth", "config", "config_unet_bigdata.py")
+    )
+    pred = Predictor.from_torch_checkpoint(WEIGHTS, cfg)
+
+    from gelslim_depth.models.unet import UNet as RefUNet
+
+    ref = RefUNet(
+        n_channels=3,
+        n_classes=1,
+        layer_dimensions=list(cfg.CNN_dimensions),
+        kernel_size=cfg.kernel_size,
+        maxpool_size=cfg.maxpool_size,
+        upconv_stride=cfg.upconv_stride,
+    )
+    sd = torch.load(WEIGHTS, map_location="cpu", weights_only=True)
+    ref.load_state_dict(sd, strict=True)
+    ref.eval()
+    return cfg, pred, ref
+
+
+def _torch_chain(cfg, ref_unet, images_np, output_size):
+    """The reference's full inference chain (corrected
+    test_depth_estimation.py:14-20): resize -> normalize -> UNet ->
+    denormalize -> resize back, using the reference's own utils."""
+    import torch
+
+    from gelslim_depth.processing_utils import image_utils as ref_iu
+    from gelslim_depth.processing_utils import normalization_utils as ref_nu
+
+    with torch.no_grad():
+        x = torch.from_numpy(images_np)
+        x = ref_iu.sample_multi_channel_image_to_desired_size(
+            x, list(cfg.input_tactile_image_size), cfg.interp_method
+        )
+        params = cfg.image_normalization_parameters
+        x = ref_nu.normalize_tactile_image(
+            x, cfg.image_normalization_method, cfg.norm_scale,
+            None if params is None else [list(p) for p in params],
+        )
+        y = ref_unet(x)
+        y = ref_nu.denormalize_depth_image(
+            y, cfg.depth_normalization_method, cfg.norm_scale,
+            list(cfg.depth_normalization_parameters),
+        )
+        y = ref_iu.sample_multi_channel_image_to_desired_size(
+            y, list(output_size), cfg.interp_method
+        )
+    return y.numpy()
+
+
+@pytest.mark.parametrize("output_size", [(160, 213), (320, 427)])
+def test_published_weights_mm_parity(artifact, output_size):
+    cfg, pred, ref = artifact
+    rng = np.random.RandomState(0)
+    # difference-image-style inputs centered on 127.5 (the published model
+    # was trained with use_difference_image=True)
+    images = rng.uniform(80, 175, (4, 3, 320, 427)).astype(np.float32)
+
+    ours = np.asarray(pred.predict_depth_from_RGB(images, output_size))
+    theirs = _torch_chain(cfg, ref, images, output_size)
+
+    rmse_mm = float(np.sqrt(np.mean((ours - theirs) ** 2)))
+    assert rmse_mm < 0.05, f"mm RMSE vs published torch chain: {rmse_mm}"

@@ -8,6 +8,19 @@ import textwrap
 
 
 def test_core_paths_importable_without_optional_deps(tmp_path):
+    # a REAL torch-saved state dict (with the OrderedDict _metadata BUILD
+    # that plain-dict unpicklers choke on), created while torch is still
+    # importable, for the subprocess to ingest torch-free
+    import numpy as np
+    import torch
+
+    from tests.torch_fixture import make_state_dict
+
+    sd = make_state_dict(np.random.RandomState(0), (4, 8))
+    torch.save(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, str(tmp_path / "ref.pth")
+    )
+
     script = textwrap.dedent(
         """
         import sys
@@ -44,6 +57,12 @@ def test_core_paths_importable_without_optional_deps(tmp_path):
         save_pt(d, "no_torch.pt")
         back = load_pt("no_torch.pt")
         assert back["tactile_image"].shape == (2, 6, 8, 9)
+
+        # torch-free ingestion of a genuine torch.save state dict (the
+        # published-artifact migration path with torch absent)
+        pred2 = Predictor.from_torch_checkpoint("ref.pth", cfg)
+        out2 = pred2.predict_depth_from_RGB(np.full((1, 3, 16, 22), 127.0, np.float32), (16, 22))
+        assert np.isfinite(np.asarray(out2)).all()
 
         # training step
         from gelslim_depth_tpu.train import create_train_state, make_optimizer, make_train_step

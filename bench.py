@@ -103,18 +103,64 @@ def main():
             log(f"batch {batch} failed: {type(e).__name__}: {e}")
 
     fps, batch, mfu = best
-    log(f"best: batch {batch} -> {fps:.1f} dual frames/s/chip")
+    log(f"best bf16: batch {batch} -> {fps:.1f} dual frames/s/chip")
+
+    # --- int8 PTQ serving path (models/quantize.py) ----------------------
+    # Headline promotion rule: the quantized graph becomes the headline
+    # only when its measured output delta vs the f32 graph ON THESE VERY
+    # WEIGHTS is under 10% of the 0.05 mm parity budget — the delta ships
+    # in the JSON as evidence either way.
+    int8_fps, int8_delta_mm, int8_batch = 0.0, float("inf"), None
+    try:
+        from gelslim_depth_tpu.inference import Predictor, fused_predict_dual as _fpd
+        from gelslim_depth_tpu.models.quantize import unet_apply_int8
+
+        pred = Predictor(config, params, stats, compute_dtype=jnp.bfloat16)
+        calib = jnp.asarray(rng.uniform(0, 255, (8, 6, 320, 427)).astype(np.float32))
+        qpred = pred.quantize(calib, base)
+        q = qpred.q
+
+        xv = jnp.asarray(rng.uniform(0, 255, (4, 6, 320, 427)).astype(np.float32))
+        y_q = qpred.predict_dual_frames(xv, base, (320, 427))
+        y_f = fused_predict_dual(config, unet_cfg, params, stats, xv, base, (320, 427),
+                                 compute_dtype=jnp.float32)
+        int8_delta_mm = float(jnp.sqrt(jnp.mean((y_q - y_f) ** 2)))
+        log(f"int8 delta vs f32 graph: {int8_delta_mm:.5f} mm RMSE "
+            f"(calib self-report {qpred.delta_mm:.5f} mm)")
+
+        def graph_q(q, x, b, carry):
+            return _fpd(config, q.cfg, q.params, q.batch_stats, x + carry, b, (320, 427),
+                        compute_dtype=jnp.bfloat16,
+                        net_fn=lambda z: unet_apply_int8(q, z, compute_dtype=jnp.bfloat16))
+
+        for b in (64, 128):
+            x = jnp.asarray(rng.uniform(0, 255, (b, 6, 320, 427)).astype(np.float32))
+            dt = device_time(graph_q, q, x, base, iters=8, repeats=3)
+            log(f"int8 batch {b}: {dt * 1e3:.2f} ms/iter, {b / dt:.1f} frames/s")
+            if b / dt > int8_fps:
+                int8_fps, int8_batch = b / dt, b
+    except Exception as e:
+        log(f"int8 path failed: {type(e).__name__}: {e}")
+
+    promote = int8_fps > fps and int8_delta_mm < 0.005
+    head_fps, head_batch = (int8_fps, int8_batch) if promote else (fps, batch)
+    log(f"headline: {'int8' if promote else 'bf16'} batch {head_batch} -> "
+        f"{head_fps:.1f} dual frames/s/chip")
 
     print(
         json.dumps(
             {
                 "metric": "dual_frames_per_sec_per_chip",
-                "value": round(fps, 1),
+                "value": round(head_fps, 1),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / 1000.0, 3),
+                "vs_baseline": round(head_fps / 1000.0, 3),
+                "graph": "int8_ptq" if promote else "bf16",
+                "bf16_value": round(fps, 1),
+                "int8_value": round(int8_fps, 1),
+                "int8_delta_mm": None if int8_delta_mm == float("inf") else round(int8_delta_mm, 6),
                 "tflops": round(fps * flops_per_frame / 1e12, 1) if flops_per_frame else None,
                 "mfu": round(mfu, 3),
-                "best_batch": batch,
+                "best_batch": head_batch,
             }
         )
     )

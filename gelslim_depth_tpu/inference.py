@@ -17,7 +17,7 @@ one correct function (GelslimConfig aliases both attribute spellings).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 import jax
@@ -37,17 +37,23 @@ def fused_predict(
     output_size: Tuple[int, int],
     *,
     compute_dtype=jnp.float32,
+    net_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """resize -> normalize -> UNet(eval) -> denormalize -> resize-back.
 
     images: (N, 3, H, W) tactile (or difference) images in [0, 255].
     Returns (N, 1, *output_size) depth in mm (<= 0). Pure/traceable.
+    net_fn overrides the network call (x_nchw -> y_nchw), e.g. the int8
+    quantized forward.
     """
     x = ops.resize(images, config.input_tactile_image_size, config.interp_method)
     x = ops.normalize_tactile_image(
         x, config.image_normalization_method, config.norm_scale, config.image_normalization_parameters
     )
-    y, _ = unet_apply(unet_cfg, params, batch_stats, x, train=False, compute_dtype=compute_dtype)
+    if net_fn is None:
+        y, _ = unet_apply(unet_cfg, params, batch_stats, x, train=False, compute_dtype=compute_dtype)
+    else:
+        y = net_fn(x)
     y = ops.denormalize_depth_image(
         y, config.depth_normalization_method, config.norm_scale, config.depth_normalization_parameters
     )
@@ -65,6 +71,7 @@ def fused_predict_dual(
     *,
     compute_dtype=jnp.float32,
     use_pallas: Optional[bool] = None,
+    net_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Full dual-GelSlim frame path: (N, 6, H, W) raw frames (left 0:3,
     right 3:6) -> per-finger difference vs base_frame (6, H, W) or (N, 6,
@@ -100,7 +107,10 @@ def fused_predict_dual(
             out_size=config.input_tactile_image_size,
             use_diff=bool(config.use_difference_image and base_frame is not None),
         )
-        y, _ = unet_apply(unet_cfg, params, batch_stats, x, train=False, compute_dtype=compute_dtype)
+        if net_fn is None:
+            y, _ = unet_apply(unet_cfg, params, batch_stats, x, train=False, compute_dtype=compute_dtype)
+        else:
+            y = net_fn(x)
         y = ops.denormalize_depth_image(
             y, config.depth_normalization_method, config.norm_scale,
             config.depth_normalization_parameters,
@@ -114,7 +124,8 @@ def fused_predict_dual(
         base = base.reshape(n, 2, 3, *frames.shape[-2:]).reshape(2 * n, 3, *frames.shape[-2:])
         fingers = ops.get_difference_image(fingers, base)
     depth = fused_predict(
-        config, unet_cfg, params, batch_stats, fingers, output_size, compute_dtype=compute_dtype
+        config, unet_cfg, params, batch_stats, fingers, output_size,
+        compute_dtype=compute_dtype, net_fn=net_fn,
     )
     return depth.reshape(n, 2, *output_size)
 
@@ -177,6 +188,88 @@ class Predictor:
         return self._dual(tuple(output_size))(
             self.params, self.batch_stats, jnp.asarray(frames), base
         )
+
+    def quantize(self, calib_frames, base_frame=None) -> "QuantizedPredictor":
+        """Post-training int8 quantization calibrated on representative
+        raw dual frames (N, 6, H, W). Returns a drop-in predictor running
+        the s8xs8->s32 MXU path (~1.5x the bf16 U-Net on v5e, see
+        models/quantize.py). Check .delta_mm — the output deviation vs the
+        float graph on the calibration batch — before deploying."""
+        from gelslim_depth_tpu.models.quantize import quantize_unet
+        from gelslim_depth_tpu.ops.normalize import image_norm_coeffs
+        from gelslim_depth_tpu.ops.pallas.preprocess_kernel import (
+            fused_preprocess_dual_reference,
+        )
+
+        cfg = self.config
+        scale, bias, denom = image_norm_coeffs(
+            cfg.image_normalization_method, cfg.norm_scale,
+            cfg.image_normalization_parameters, 3,
+        )
+        mult = (scale / denom).astype(np.float32)
+        add = (-bias * scale / denom).astype(np.float32)
+        frames = jnp.asarray(calib_frames)
+        base = jnp.zeros_like(frames[0]) if base_frame is None else jnp.asarray(base_frame)
+        x = fused_preprocess_dual_reference(
+            frames, base, mult, add,
+            out_size=cfg.input_tactile_image_size,
+            use_diff=bool(cfg.use_difference_image and base_frame is not None),
+        )
+        q = quantize_unet(self.unet_cfg, self.params, self.batch_stats, x)
+        return QuantizedPredictor(cfg, q, compute_dtype=self.compute_dtype)
+
+    __call__ = predict_depth_from_RGB
+
+
+class QuantizedPredictor:
+    """Predictor running the int8-quantized U-Net (models/quantize.py)
+    inside the same fused pre/post-processing graph. Same predict API as
+    Predictor. Build via Predictor.quantize(calib_frames)."""
+
+    def __init__(self, config: GelslimConfig, q, *, compute_dtype=jnp.bfloat16):
+        from gelslim_depth_tpu.models.quantize import unet_apply_int8
+
+        self.config = config
+        self.q = q
+        self.compute_dtype = compute_dtype
+        self._apply_int8 = unet_apply_int8
+        self._single = functools.cache(self._make_single)
+        self._dual = functools.cache(self._make_dual)
+
+    @property
+    def delta_mm(self) -> float:
+        """Calibration-batch output RMSE vs the float graph, in mm."""
+        lo, hi = self.config.depth_normalization_parameters[:2]
+        return float(self.q.float_delta) * abs(hi - lo) / self.config.norm_scale
+
+    def _make_single(self, output_size: Tuple[int, int]):
+        cfg, dtype, apply = self.config, self.compute_dtype, self._apply_int8
+        # q passes through jit as a pytree argument (its int8 weights are
+        # runtime buffers, not baked-in constants)
+        return jax.jit(
+            lambda q, frames: fused_predict(
+                cfg, q.cfg, q.params, q.batch_stats, frames, output_size,
+                compute_dtype=dtype,
+                net_fn=lambda x: apply(q, x, compute_dtype=dtype),
+            )
+        )
+
+    def _make_dual(self, output_size: Tuple[int, int]):
+        cfg, dtype, apply = self.config, self.compute_dtype, self._apply_int8
+        return jax.jit(
+            lambda q, frames, base: fused_predict_dual(
+                cfg, q.cfg, q.params, q.batch_stats, frames, base, output_size,
+                compute_dtype=dtype,
+                net_fn=lambda x: apply(q, x, compute_dtype=dtype),
+            )
+        )
+
+    def predict_depth_from_RGB(self, images, output_size: Tuple[int, int]) -> jnp.ndarray:
+        return self._single(tuple(output_size))(self.q, jnp.asarray(images))
+
+    def predict_dual_frames(self, frames, base_frame, output_size: Tuple[int, int]) -> jnp.ndarray:
+        base = None if base_frame is None else jnp.asarray(base_frame)
+        return self._dual(tuple(output_size))(self.q, jnp.asarray(frames), base)
 
     __call__ = predict_depth_from_RGB
 

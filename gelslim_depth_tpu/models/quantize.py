@@ -1,0 +1,263 @@
+"""Post-training int8 quantization of the U-Net for eval-mode inference.
+
+TPU MXUs run s8 x s8 -> s32 at twice the bf16 rate (v5e: 394 TOPS vs 197
+TFLOP/s), and int8 activations halve the HBM traffic that bounds the
+full-resolution stages (docs/PERFORMANCE.md stage map). This module adds
+an OPT-IN quantized serving path; the bf16/f32 graphs remain the parity
+defaults — quantization accuracy must be validated per checkpoint (the
+quantize() API reports the output delta against the float graph for
+exactly that).
+
+Scheme (standard TPU-friendly PTQ, no reference equivalent — the
+reference serves f32 torch, ref test_utils/test_depth_estimation.py:60-63):
+- Weights: symmetric per-output-channel int8,
+  s_w[o] = max|w[..., o]| / 127.
+- Activations: symmetric per-tensor int8 with STATIC scales calibrated
+  from a representative batch (max|x| at every quantized-conv input, f32
+  forward). Static scales keep the serving graph free of data-dependent
+  reductions.
+- Quantized: both convs of every DoubleConv except the very first
+  (3-channel image input keeps full precision), i.e. ~85% of model FLOPs.
+  Transposed convs, the 1x1 output head, and every BatchNorm affine stay
+  in compute_dtype (bf16 by default); dequant -> BN -> activation ->
+  requant is one fused elementwise chain between MXU calls.
+- The conv's zero padding is exact in int8 (0 quantizes to 0).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gelslim_depth_tpu.models.unet import (
+    BatchStats,
+    Params,
+    UNetConfig,
+    _activation_fn,
+    _batch_norm,
+    _conv,
+    _maxpool,
+    _up_block,
+)
+
+
+class QuantizedUNet(NamedTuple):
+    """Everything needed to run the int8 eval forward. params/batch_stats
+    are the ORIGINAL float pytrees (BN affines, upconvs, out head, and the
+    unquantized first conv still read them); w8/w_scale hold the int8
+    weights; act_scale holds static python-float activation scales keyed
+    like 'inc/conv2', 'down_0/conv1', ...; float_delta is a scalar jnp
+    array: output RMSE vs the float graph on the calibration batch, in
+    network-output (normalized depth) units — the fitness report."""
+
+    cfg: UNetConfig
+    params: Params
+    batch_stats: BatchStats
+    w8: Dict[str, Any]
+    w_scale: Dict[str, Any]
+    act_scale: Dict[str, float]
+    float_delta: float
+
+
+def _quantized_sites(cfg: UNetConfig):
+    """(block, conv) pairs that run on the int8 MXU path."""
+    sites = [("inc", "conv2")]
+    for i in range(cfg.num_levels - 1):
+        sites += [(f"down_{i}", "conv1"), (f"down_{i}", "conv2")]
+    for j in range(cfg.num_levels - 1):
+        sites += [(f"up_{j}", "conv1"), (f"up_{j}", "conv2")]
+    return sites
+
+
+def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(kh, kw, cin, cout) f32 -> (int8, per-cout scale)."""
+    s = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+    s = jnp.where(s == 0, jnp.float32(1.0), s)
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def _conv_int8(x, in_scale: float, w8, w_scale, pad):
+    """float activations -> static-scale int8 -> s8xs8->s32 conv on the
+    MXU -> dequantized float output (s_x * s_w[o] folded into one FMA)."""
+    inv = jnp.float32(1.0 / in_scale)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
+    y = lax.conv_general_dilated(
+        q, w8, (1, 1), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * (jnp.float32(in_scale) * w_scale)
+
+
+def _forward_eval(cfg: UNetConfig, params, batch_stats, x, dc_fn, compute_dtype):
+    """The eval-mode network skeleton shared by calibration and the int8
+    apply; dc_fn(name, h) -> block output. Mirrors unet_apply exactly
+    (models/unet.py:265-330) for the non-DoubleConv pieces."""
+    precision = lax.Precision.HIGHEST if compute_dtype == jnp.float32 else lax.Precision.DEFAULT
+    skips = [dc_fn("inc", x)]
+    for i in range(cfg.num_levels - 1):
+        h = _maxpool(skips[-1], cfg.maxpool_size)
+        skips.append(dc_fn(f"down_{i}", h))
+    h = skips[-1]
+    for j in range(cfg.num_levels - 1):
+        name = f"up_{j}"
+        h = _up_block(
+            h, skips[-2 - j], params[name], batch_stats[name], cfg,
+            lambda y, p, s, _n=name: dc_fn(_n, y),
+            compute_dtype, precision,
+        )
+    out = _conv(h, params["outc"]["w"], [(0, 0), (0, 0)], compute_dtype, precision)
+    out = out + params["outc"]["b"].astype(out.dtype)
+    return out.astype(jnp.float32)
+
+
+def _float_dc(cfg, params, batch_stats, name, h, compute_dtype, record=None):
+    """Float DoubleConv that optionally records per-conv-input max|x|."""
+    act = _activation_fn(cfg.activation)
+    precision = lax.Precision.HIGHEST if compute_dtype == jnp.float32 else lax.Precision.DEFAULT
+    p, s = params[name], batch_stats[name]
+    pad = [(1, 1), (1, 1)]
+    if record is not None:
+        record[f"{name}/conv1"] = jnp.max(jnp.abs(h)).astype(jnp.float32)
+    y = _conv(h, p["conv1_w"], pad, compute_dtype, precision)
+    y, _, _ = _batch_norm(y, p["bn1_scale"], p["bn1_bias"], s["bn1_mean"], s["bn1_var"], False)
+    y = act(y).astype(compute_dtype)
+    if record is not None:
+        record[f"{name}/conv2"] = jnp.max(jnp.abs(y)).astype(jnp.float32)
+    y = _conv(y, p["conv2_w"], pad, compute_dtype, precision)
+    y, _, _ = _batch_norm(y, p["bn2_scale"], p["bn2_bias"], s["bn2_mean"], s["bn2_var"], False)
+    return act(y).astype(compute_dtype)
+
+
+def calibrate_act_scales(
+    cfg: UNetConfig, params, batch_stats, calib_x, *, channels_last: bool = False
+) -> Dict[str, float]:
+    """Static per-tensor activation scales from an f32 forward over a
+    representative batch: scale = max|x| / 127 at each quantized site."""
+    if not channels_last:
+        calib_x = jnp.transpose(jnp.asarray(calib_x), (0, 2, 3, 1))
+
+    @jax.jit
+    def run(x):
+        record: Dict[str, jnp.ndarray] = {}
+        dc = lambda name, h: _float_dc(cfg, params, batch_stats, name, h, jnp.float32, record)
+        _forward_eval(cfg, params, batch_stats, x, dc, jnp.float32)
+        return record
+
+    record = jax.device_get(run(calib_x))
+    wanted = {f"{b}/{c}" for b, c in _quantized_sites(cfg)}
+    return {
+        k: float(v) / 127.0 if float(v) > 0 else 1.0
+        for k, v in record.items()
+        if k in wanted
+    }
+
+
+def quantize_unet(
+    cfg: UNetConfig,
+    params: Params,
+    batch_stats: BatchStats,
+    calib_x,
+    *,
+    channels_last: bool = False,
+) -> QuantizedUNet:
+    """Calibrate + quantize; reports the output RMSE vs the f32 graph on
+    the calibration batch in .float_delta (same units as the network
+    output, i.e. normalized depth — multiply by (d_max-d_min)/norm_scale
+    for mm)."""
+    act_scale = calibrate_act_scales(
+        cfg, params, batch_stats, calib_x, channels_last=channels_last
+    )
+
+    @jax.jit
+    def qweights(p):
+        w8: Dict[str, Any] = {}
+        ws: Dict[str, Any] = {}
+        for block, conv in _quantized_sites(cfg):
+            q, s = quantize_weight(p[block][f"{conv}_w"])
+            w8.setdefault(block, {})[conv] = q
+            ws.setdefault(block, {})[conv] = s
+        return w8, ws
+
+    w8, w_scale = qweights(params)
+    q = QuantizedUNet(
+        cfg, params, batch_stats, w8, w_scale, act_scale, jnp.float32(0.0)
+    )
+
+    # fitness report: quantized vs float output on the calibration batch
+    # (float_delta is a traced leaf, not static aux, so storing it does
+    # not invalidate the jit cache of the apply)
+    y_q = unet_apply_int8(q, calib_x, channels_last=channels_last)
+    from gelslim_depth_tpu.models.unet import unet_apply
+
+    y_f, _ = unet_apply(
+        cfg, params, batch_stats, jnp.asarray(calib_x), train=False,
+        compute_dtype=jnp.float32, channels_last=channels_last,
+    )
+    delta = jnp.sqrt(jnp.mean(jnp.square(y_q - y_f)))
+    return q._replace(float_delta=delta)
+
+
+@functools.partial(jax.jit, static_argnames=("channels_last", "compute_dtype"))
+def _apply_int8(q: QuantizedUNet, x, *, channels_last, compute_dtype):
+    cfg = q.cfg
+    act = _activation_fn(cfg.activation)
+    if not channels_last:
+        x = jnp.transpose(x, (0, 2, 3, 1))
+    x = x.astype(compute_dtype)
+    pad = [(1, 1), (1, 1)]
+    quantized = {f"{b}/{c}" for b, c in _quantized_sites(cfg)}
+    precision = lax.Precision.HIGHEST if compute_dtype == jnp.float32 else lax.Precision.DEFAULT
+
+    def one_conv(name, conv, h):
+        p, s = q.params[name], q.batch_stats[name]
+        i = conv[-1]  # '1' | '2'
+        if f"{name}/{conv}" in quantized:
+            y = _conv_int8(
+                h, q.act_scale[f"{name}/{conv}"], q.w8[name][conv], q.w_scale[name][conv], pad
+            )
+        else:
+            y = _conv(h, p[f"{conv}_w"], pad, compute_dtype, precision)
+        y, _, _ = _batch_norm(
+            y, p[f"bn{i}_scale"], p[f"bn{i}_bias"], s[f"bn{i}_mean"], s[f"bn{i}_var"], False
+        )
+        return act(y).astype(compute_dtype)
+
+    def dc(name, h):
+        return one_conv(name, "conv2", one_conv(name, "conv1", h))
+
+    out = _forward_eval(cfg, q.params, q.batch_stats, x, dc, compute_dtype)
+    if not channels_last:
+        out = jnp.transpose(out, (0, 3, 1, 2))
+    return out
+
+
+def unet_apply_int8(
+    q: QuantizedUNet,
+    x,
+    *,
+    channels_last: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Eval forward with the quantized weights. Same contract as
+    unet_apply(train=False) minus batch-stat returns."""
+    return _apply_int8(
+        q, jnp.asarray(x), channels_last=channels_last, compute_dtype=compute_dtype
+    )
+
+
+jax.tree_util.register_pytree_node(
+    QuantizedUNet,
+    lambda q: ((q.params, q.batch_stats, q.w8, q.w_scale, q.float_delta),
+               (q.cfg, tuple(sorted(q.act_scale.items())))),
+    lambda aux, children: QuantizedUNet(
+        aux[0], children[0], children[1], children[2], children[3],
+        dict(aux[1]), children[4],
+    ),
+)

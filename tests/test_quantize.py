@@ -1,0 +1,124 @@
+"""int8 post-training quantization (models/quantize.py): weight/activation
+quantization correctness, site coverage, end-to-end mm accuracy vs the
+float graph, and the QuantizedPredictor API.
+
+This is new TPU-native capability with no reference equivalent (the
+reference serves f32 torch), so the bar is self-consistency against the
+float graph, with the accuracy delta surfaced, not hidden.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gelslim_depth_tpu.config import GelslimConfig
+from gelslim_depth_tpu.models.unet import UNetConfig, init_unet, unet_apply
+from gelslim_depth_tpu.models.quantize import (
+    _quantized_sites,
+    quantize_unet,
+    quantize_weight,
+    unet_apply_int8,
+)
+from gelslim_depth_tpu.inference import Predictor
+
+DIMS = (8, 16, 32)
+
+
+@pytest.fixture(scope="module")
+def tiny_net():
+    cfg = UNetConfig(layer_dimensions=DIMS)
+    params, stats = init_unet(jax.random.PRNGKey(0), cfg)
+    return cfg, params, stats
+
+
+def test_quantize_weight_roundtrip(rng):
+    w = jnp.asarray(rng.uniform(-0.3, 0.3, (3, 3, 8, 16)).astype(np.float32))
+    q, s = quantize_weight(w)
+    assert q.dtype == jnp.int8 and s.shape == (16,)
+    # dequantization error bounded by half a quantization step per element
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - np.asarray(w))
+    assert err.max() <= np.asarray(s).max() / 2 + 1e-7
+    # zero-channel guard
+    q0, s0 = quantize_weight(jnp.zeros((3, 3, 4, 2)))
+    assert np.all(np.asarray(s0) == 1.0) and np.all(np.asarray(q0) == 0)
+
+
+def test_quantized_sites_cover_all_but_first_conv(tiny_net):
+    cfg, _, _ = tiny_net
+    sites = set(_quantized_sites(cfg))
+    assert ("inc", "conv1") not in sites  # 3-channel input stays float
+    assert ("inc", "conv2") in sites
+    for i in range(cfg.num_levels - 1):
+        assert (f"down_{i}", "conv1") in sites and (f"down_{i}", "conv2") in sites
+        assert (f"up_{i}", "conv1") in sites and (f"up_{i}", "conv2") in sites
+
+
+def test_int8_forward_close_to_float(tiny_net, rng):
+    cfg, params, stats = tiny_net
+    x = jnp.asarray(rng.uniform(0, 1, (4, 3, 32, 43)).astype(np.float32))
+    q = quantize_unet(cfg, params, stats, x)
+    y_q = unet_apply_int8(q, x, compute_dtype=jnp.float32)
+    y_f, _ = unet_apply(cfg, params, stats, x, train=False)
+    assert y_q.shape == y_f.shape
+    spread = float(jnp.max(y_f) - jnp.min(y_f)) + 1e-6
+    rmse = float(jnp.sqrt(jnp.mean((y_q - y_f) ** 2)))
+    # int8 error well under the output spread, and the self-report agrees
+    assert rmse < 0.05 * spread + 5e-3, rmse
+    assert abs(float(q.float_delta) - rmse) < 1e-4 + 0.5 * rmse
+
+
+def test_int8_forward_new_inputs(tiny_net, rng):
+    """Static calibration scales must hold on inputs beyond the
+    calibration batch (same distribution)."""
+    cfg, params, stats = tiny_net
+    calib = jnp.asarray(rng.uniform(0, 1, (4, 3, 32, 43)).astype(np.float32))
+    q = quantize_unet(cfg, params, stats, calib)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 3, 32, 43)).astype(np.float32))
+    y_q = unet_apply_int8(q, x, compute_dtype=jnp.float32)
+    y_f, _ = unet_apply(cfg, params, stats, x, train=False)
+    spread = float(jnp.max(y_f) - jnp.min(y_f)) + 1e-6
+    assert float(jnp.sqrt(jnp.mean((y_q - y_f) ** 2))) < 0.1 * spread + 5e-3
+
+
+def test_k5_config_quantizes(rng):
+    """Decoder convs are always 3x3 (reference quirk) — quantization must
+    follow the real shapes for kernel_size != 3."""
+    cfg = UNetConfig(layer_dimensions=(4, 8), kernel_size=5)
+    params, stats = init_unet(jax.random.PRNGKey(1), cfg)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 3, 24, 33)).astype(np.float32))
+    q = quantize_unet(cfg, params, stats, x)
+    assert q.w8["up_0"]["conv1"].shape[:2] == (3, 3)
+    assert q.w8["down_0"]["conv1"].shape[:2] == (5, 5)
+    y = unet_apply_int8(q, x)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_quantized_predictor_end_to_end(rng):
+    config = GelslimConfig(
+        CNN_dimensions=DIMS,
+        input_tactile_image_size=(32, 43),
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        depth_normalization_parameters=(-1.9, 0.0),
+        norm_scale=0.9,
+        use_difference_image=True,
+    )
+    params, stats = init_unet(jax.random.PRNGKey(2), config.unet_config())
+    pred = Predictor(config, params, stats)
+
+    frames = jnp.asarray(rng.uniform(0, 255, (4, 6, 64, 86)).astype(np.float32))
+    base = jnp.asarray(rng.uniform(0, 255, (6, 64, 86)).astype(np.float32))
+    qpred = pred.quantize(frames, base)
+    assert qpred.delta_mm < 0.05, qpred.delta_mm
+
+    y_q = np.asarray(qpred.predict_dual_frames(frames[:2], base, (64, 86)))
+    y_f = np.asarray(pred.predict_dual_frames(frames[:2], base, (64, 86)))
+    assert y_q.shape == y_f.shape == (2, 2, 64, 86)
+    assert np.sqrt(np.mean((y_q - y_f) ** 2)) < 0.05  # mm
+
+    # single-finger path too
+    imgs = jnp.asarray(rng.uniform(0, 255, (2, 3, 64, 86)).astype(np.float32))
+    y1 = np.asarray(qpred.predict_depth_from_RGB(imgs, (64, 86)))
+    y2 = np.asarray(pred.predict_depth_from_RGB(imgs, (64, 86)))
+    assert np.sqrt(np.mean((y1 - y2) ** 2)) < 0.05

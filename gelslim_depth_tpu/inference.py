@@ -242,6 +242,19 @@ class QuantizedPredictor:
         lo, hi = self.config.depth_normalization_parameters[:2]
         return float(self.q.float_delta) * abs(hi - lo) / self.config.norm_scale
 
+    def save(self, ckpt_dir: str, name: str = None) -> str:
+        """Persist the quantized model so serving skips re-calibration."""
+        from gelslim_depth_tpu.train.checkpoint import save_quantized
+
+        return save_quantized(ckpt_dir, self.config, self.q, name=name)
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_dir: str, name: str = None, **kw) -> "QuantizedPredictor":
+        from gelslim_depth_tpu.train.checkpoint import load_quantized
+
+        config, q = load_quantized(ckpt_dir, name)
+        return cls(config, q, **kw)
+
     def _make_single(self, output_size: Tuple[int, int]):
         cfg, dtype, apply = self.config, self.compute_dtype, self._apply_int8
         # q passes through jit as a pytree argument (its int8 weights are

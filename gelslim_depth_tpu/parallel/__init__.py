@@ -6,6 +6,7 @@ from gelslim_depth_tpu.parallel.mesh import (
     make_dp_eval_step,
     make_dp_predict,
     make_dp_fused_predictor,
+    make_dp_fused_predictor_int8,
 )
 
 __all__ = [
@@ -16,6 +17,7 @@ __all__ = [
     "make_dp_eval_step",
     "make_dp_predict",
     "make_dp_fused_predictor",
+    "make_dp_fused_predictor_int8",
 ]
 
 from gelslim_depth_tpu.parallel.multihost import (

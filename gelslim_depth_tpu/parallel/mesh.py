@@ -161,3 +161,38 @@ def make_dp_fused_predictor(
         in_shardings=(repl, repl, frames_sh, repl),
         out_shardings=frames_sh,
     )
+
+
+def make_dp_fused_predictor_int8(
+    config,
+    q,
+    mesh: Mesh,
+    output_size,
+    *,
+    axis_name: str = "data",
+    compute_dtype=jnp.bfloat16,
+):
+    """Multi-chip serving of the int8 PTQ graph (models/quantize.py):
+    int8 weights + scales replicate, frames shard on the batch axis —
+    the quantized per-frame pipeline needs no cross-device communication,
+    so throughput scales linearly over ICI-connected chips exactly like
+    the float predictor above.
+
+    Returns predict(q, frames, base) -> (N, 2, *out) mm depth; pass the
+    QuantizedUNet explicitly so its buffers stay runtime arguments."""
+    from gelslim_depth_tpu.inference import fused_predict_dual
+    from gelslim_depth_tpu.models.quantize import unet_apply_int8
+
+    repl = NamedSharding(mesh, P())
+    frames_sh = NamedSharding(mesh, P(axis_name, None, None, None))
+
+    def fwd(q, frames, base):
+        return fused_predict_dual(
+            config, q.cfg, q.params, q.batch_stats, frames, base,
+            tuple(output_size), compute_dtype=compute_dtype,
+            net_fn=lambda x: unet_apply_int8(q, x, compute_dtype=compute_dtype),
+        )
+
+    return jax.jit(
+        fwd, in_shardings=(repl, frames_sh, repl), out_shardings=frames_sh
+    )

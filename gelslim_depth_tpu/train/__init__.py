@@ -4,6 +4,8 @@ from gelslim_depth_tpu.train.checkpoint import (
     load_checkpoint,
     save_train_state,
     load_train_state,
+    save_quantized,
+    load_quantized,
 )
 from gelslim_depth_tpu.train.steps import (
     TrainState,
@@ -19,6 +21,8 @@ __all__ = [
     "load_checkpoint",
     "save_train_state",
     "load_train_state",
+    "save_quantized",
+    "load_quantized",
     "EmaState",
     "ema_init",
     "ema_update",

@@ -170,3 +170,62 @@ def load_train_state(ckpt_dir: str, template: TrainState, *, name: str = "train_
         ),
         step=jnp.asarray(flat["__step"]),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantized serving checkpoints (models/quantize.py)
+# ---------------------------------------------------------------------------
+
+def save_quantized(ckpt_dir: str, config: GelslimConfig, q, *, name: str = None) -> str:
+    """Persist a QuantizedUNet so serving can skip re-calibration: one
+    <name>_int8.npz holding the float params/stats, the int8 weights with
+    their per-channel scales, the static activation scales, and the
+    calibration fitness delta, plus the frozen config json."""
+    import json as _json
+
+    name = name or config.weights_name
+    os.makedirs(ckpt_dir, exist_ok=True)
+    flat = {}
+    flat.update(_flatten(q.params, "params/"))
+    flat.update(_flatten(q.batch_stats, "batch_stats/"))
+    flat.update(_flatten(q.w8, "w8/"))
+    flat.update(_flatten(q.w_scale, "w_scale/"))
+    flat["float_delta"] = np.asarray(q.float_delta)
+    flat["act_scale_json"] = np.frombuffer(
+        _json.dumps(q.act_scale).encode(), dtype=np.uint8
+    )
+    path = os.path.join(ckpt_dir, f"{name}_int8.npz")
+    np.savez(path, **flat)
+    config.save_json(os.path.join(ckpt_dir, f"{name}.json"))
+    return path
+
+
+def load_quantized(ckpt_dir: str, name: str = None):
+    """Load a save_quantized artifact -> (config, QuantizedUNet)."""
+    import json as _json
+
+    from gelslim_depth_tpu.models.quantize import QuantizedUNet, _quantized_sites
+    from gelslim_depth_tpu.models.unet import init_unet
+
+    if name is None:
+        cands = [f[:-9] for f in os.listdir(ckpt_dir) if f.endswith("_int8.npz")]
+        assert len(cands) == 1, f"expected one *_int8.npz in {ckpt_dir}, found {cands}"
+        name = cands[0]
+    config = GelslimConfig.from_json(os.path.join(ckpt_dir, f"{name}.json"))
+    unet_cfg = config.unet_config()
+    with np.load(os.path.join(ckpt_dir, f"{name}_int8.npz")) as z:
+        flat = {k: z[k] for k in z.files}
+    t_params, t_stats = init_unet(jax.random.PRNGKey(0), unet_cfg)
+    params = _unflatten_like(t_params, flat, "params/")
+    batch_stats = _unflatten_like(t_stats, flat, "batch_stats/")
+    w8: Dict[str, Any] = {}
+    w_scale: Dict[str, Any] = {}
+    for block, conv in _quantized_sites(unet_cfg):
+        w8.setdefault(block, {})[conv] = jnp.asarray(flat[f"w8/{block}/{conv}"])
+        w_scale.setdefault(block, {})[conv] = jnp.asarray(flat[f"w_scale/{block}/{conv}"])
+    act_scale = _json.loads(bytes(flat["act_scale_json"]).decode())
+    return config, QuantizedUNet(
+        unet_cfg, params, batch_stats, w8, w_scale,
+        {k: float(v) for k, v in act_scale.items()},
+        jnp.asarray(flat["float_delta"]),
+    )

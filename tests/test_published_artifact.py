@@ -147,3 +147,61 @@ def test_published_weights_mm_parity(artifact, output_size):
 
     rmse_mm = float(np.sqrt(np.mean((ours - theirs) ** 2)))
     assert rmse_mm < 0.05, f"mm RMSE vs published torch chain: {rmse_mm}"
+
+
+def test_published_weights_int8_parity(artifact, tmp_path):
+    """The int8 PTQ serving path must also hold the <0.05 mm gate against
+    the reference torch chain on the REAL trained weights — quantization
+    error on trained activations is exactly what synthetic-weight tests
+    cannot see.
+
+    Runs the quantized jax side in a TPU subprocess (the pytest session
+    pins the CPU backend, where XLA's int8 convs are ~70 s per full-res
+    forward); skips when no TPU is reachable."""
+    import subprocess
+    import sys as _sys
+
+    cfg, pred, ref = artifact
+    rng = np.random.RandomState(1)
+    images = rng.uniform(80, 175, (4, 3, 320, 427)).astype(np.float32)
+    theirs = _torch_chain(cfg, ref, images, (320, 427))
+    np.save(tmp_path / "theirs.npy", theirs)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["GELSLIM_PUBLISHED_WEIGHTS"] = WEIGHTS
+    code = f"""
+import sys
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/gelslim_jax_cache")
+if jax.default_backend() != "tpu":
+    sys.exit(42)
+from gelslim_depth_tpu.config import GelslimConfig
+from gelslim_depth_tpu.inference import Predictor
+cfg = GelslimConfig.from_python_module(
+    {os.path.join(REFERENCE_ROOT, "gelslim_depth", "config", "config_unet_bigdata.py")!r})
+pred = Predictor.from_torch_checkpoint({WEIGHTS!r}, cfg)
+rng = np.random.RandomState(1)
+calib = rng.uniform(60, 195, (8, 6, 320, 427)).astype(np.float32)
+base = rng.uniform(90, 165, (6, 320, 427)).astype(np.float32)
+qpred = pred.quantize(calib, base)
+assert qpred.delta_mm < 0.02, f"calibration self-report {{qpred.delta_mm}} mm"
+images = rng.uniform(80, 175, (4, 3, 320, 427)).astype(np.float32)
+ours = np.asarray(qpred.predict_depth_from_RGB(images, (320, 427)))
+theirs = np.load({str(tmp_path / "theirs.npy")!r})
+rmse = float(np.sqrt(np.mean((ours - theirs) ** 2)))
+assert rmse < 0.05, f"int8 mm RMSE vs published torch chain: {{rmse}}"
+print(f"int8 artifact gate OK: {{rmse:.5f}} mm RMSE, calib delta {{qpred.delta_mm:.5f}} mm")
+"""
+    proc = subprocess.run(
+        [_sys.executable, "-c", code], env=env, cwd=repo,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        timeout=1200,  # first-compile of the full int8 graph through the
+                       # tunneled compiler can take several minutes cold
+    )
+    out = proc.stdout.decode()
+    if proc.returncode == 42:
+        pytest.skip("no TPU available for the int8 artifact gate")
+    assert proc.returncode == 0, f"int8 gate subprocess failed:\n{out[-3000:]}"

@@ -122,3 +122,93 @@ def test_quantized_predictor_end_to_end(rng):
     y1 = np.asarray(qpred.predict_depth_from_RGB(imgs, (64, 86)))
     y2 = np.asarray(pred.predict_depth_from_RGB(imgs, (64, 86)))
     assert np.sqrt(np.mean((y1 - y2) ** 2)) < 0.05
+
+
+def test_dp_int8_fused_predictor_matches_single_device(rng):
+    """Config-5 serving at int8: batch-sharded quantized predictor over
+    the 8-virtual-device mesh must equal the single-device quantized
+    output exactly (the pipeline has no cross-device math)."""
+    from gelslim_depth_tpu.parallel import make_mesh, make_dp_fused_predictor_int8, replicate
+
+    config = GelslimConfig(
+        CNN_dimensions=(4, 8),
+        input_tactile_image_size=(16, 21),
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        depth_normalization_parameters=(-1.9, 0.0),
+        norm_scale=0.9,
+        use_difference_image=True,
+    )
+    params, stats = init_unet(jax.random.PRNGKey(3), config.unet_config())
+    pred = Predictor(config, params, stats, compute_dtype=jnp.float32)
+    frames = jnp.asarray(rng.uniform(0, 255, (8, 6, 32, 43)).astype(np.float32))
+    base = jnp.asarray(rng.uniform(0, 255, (6, 32, 43)).astype(np.float32))
+    qpred = pred.quantize(frames, base)
+
+    mesh = make_mesh(8)
+    dp = make_dp_fused_predictor_int8(
+        config, qpred.q, mesh, (32, 43), compute_dtype=jnp.float32
+    )
+    got = np.asarray(dp(replicate(mesh, qpred.q), frames, base))
+    want = np.asarray(qpred.predict_dual_frames(frames, base, (32, 43)))
+    assert got.shape == (8, 2, 32, 43)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path, rng):
+    """save_quantized/load_quantized: the reloaded QuantizedPredictor must
+    produce bit-identical outputs without re-calibration."""
+    config = GelslimConfig(
+        weights_name="qtiny",
+        CNN_dimensions=(4, 8),
+        input_tactile_image_size=(16, 21),
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        depth_normalization_parameters=(-1.9, 0.0),
+        norm_scale=0.9,
+        use_difference_image=True,
+    )
+    params, stats = init_unet(jax.random.PRNGKey(4), config.unet_config())
+    pred = Predictor(config, params, stats, compute_dtype=jnp.float32)
+    frames = jnp.asarray(rng.uniform(0, 255, (4, 6, 32, 43)).astype(np.float32))
+    base = jnp.asarray(rng.uniform(0, 255, (6, 32, 43)).astype(np.float32))
+    qpred = pred.quantize(frames, base)
+    qpred.save(str(tmp_path))
+
+    from gelslim_depth_tpu.inference import QuantizedPredictor
+
+    loaded = QuantizedPredictor.from_checkpoint(str(tmp_path), compute_dtype=jnp.float32)
+    assert abs(loaded.delta_mm - qpred.delta_mm) < 1e-9
+    assert loaded.q.act_scale == qpred.q.act_scale
+    a = np.asarray(qpred.predict_dual_frames(frames[:2], base, (32, 43)))
+    b = np.asarray(loaded.predict_dual_frames(frames[:2], base, (32, 43)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_streaming_engine_accepts_quantized_predictor(rng):
+    """StreamingEngine pipelines any predictor exposing
+    predict_dual_frames — including the int8 one (config-5 streaming)."""
+    from gelslim_depth_tpu.inference import StreamingEngine
+
+    config = GelslimConfig(
+        CNN_dimensions=(4, 8),
+        input_tactile_image_size=(16, 21),
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        depth_normalization_parameters=(-1.9, 0.0),
+        norm_scale=0.9,
+        use_difference_image=True,
+    )
+    params, stats = init_unet(jax.random.PRNGKey(5), config.unet_config())
+    pred = Predictor(config, params, stats, compute_dtype=jnp.float32)
+    frames = rng.uniform(0, 255, (4, 6, 32, 43)).astype(np.float32)
+    base = rng.uniform(0, 255, (6, 32, 43)).astype(np.float32)
+    qpred = pred.quantize(jnp.asarray(frames), jnp.asarray(base))
+
+    eng = StreamingEngine(qpred, (32, 43), base_frame=base)
+    for f in frames:
+        eng.submit(f)
+    outs = eng.drain()
+    assert len(outs) == 4 and outs[0].shape == (1, 2, 32, 43)
+    want = np.asarray(qpred.predict_dual_frames(frames[:1], base, (32, 43)))
+    np.testing.assert_allclose(outs[0], want, rtol=1e-6)

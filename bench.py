@@ -190,6 +190,29 @@ def main():
         log(f"accuracy diag failed: {type(e).__name__}: {e}")
 
     try:
+        # mesh->depth GT generation throughput (BASELINE config 4): one
+        # 100k-point object, 320x427 output — the reference runs one CPU
+        # Delaunay + 2 scattered interps per sample (minutes per object)
+        from gelslim_depth_tpu.meshgen import plane_spec, render_depth_batch
+
+        pts = jnp.asarray(rng.uniform(-8, 8, (100_000, 3)).astype(np.float32))
+        poses = jnp.asarray(rng.uniform(-0.003, 0.003, (32, 3)).astype(np.float32))
+        widths = jnp.asarray(rng.uniform(10, 14, (32,)).astype(np.float32))
+        spec = plane_spec("+y+z")
+
+        def gt_fn(pc, poses, widths, carry):
+            return render_depth_batch(
+                pc + carry, poses, widths, spec=spec, image_size=(320, 427),
+                mm_per_pixel=12.0 / 320.0, fill_iters=6,
+            )
+
+        dt = device_time(gt_fn, pts, poses, widths, iters=4, repeats=2)
+        log(f"meshgen GT: {32 / dt:.0f} depth samples/s (100k-pt object, 320x427; "
+            f"reference: ~minutes/object on CPU Delaunay)")
+    except Exception as e:
+        log(f"meshgen diag failed: {type(e).__name__}: {e}")
+
+    try:
         # training-step throughput at the reference's batch size (BASELINE
         # config 3): fwd+bwd+Adam+EMA on 160x213 inputs
         from gelslim_depth_tpu.train import create_train_state, make_optimizer, make_train_step

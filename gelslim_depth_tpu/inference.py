@@ -189,12 +189,13 @@ class Predictor:
             self.params, self.batch_stats, jnp.asarray(frames), base
         )
 
-    def quantize(self, calib_frames, base_frame=None) -> "QuantizedPredictor":
+    def quantize(self, calib_frames, base_frame=None, *, percentile: float = 100.0) -> "QuantizedPredictor":
         """Post-training int8 quantization calibrated on representative
         raw dual frames (N, 6, H, W). Returns a drop-in predictor running
         the s8xs8->s32 MXU path (~1.5x the bf16 U-Net on v5e, see
-        models/quantize.py). Check .delta_mm — the output deviation vs the
-        float graph on the calibration batch — before deploying."""
+        models/quantize.py). percentile < 100 clips activation-scale
+        outliers. Check .delta_mm — the output deviation vs the float
+        graph on the calibration batch — before deploying."""
         from gelslim_depth_tpu.models.quantize import quantize_unet
         from gelslim_depth_tpu.ops.normalize import image_norm_coeffs
         from gelslim_depth_tpu.ops.pallas.preprocess_kernel import (
@@ -215,7 +216,9 @@ class Predictor:
             out_size=cfg.input_tactile_image_size,
             use_diff=bool(cfg.use_difference_image and base_frame is not None),
         )
-        q = quantize_unet(self.unet_cfg, self.params, self.batch_stats, x)
+        q = quantize_unet(
+            self.unet_cfg, self.params, self.batch_stats, x, percentile=percentile
+        )
         return QuantizedPredictor(cfg, q, compute_dtype=self.compute_dtype)
 
     __call__ = predict_depth_from_RGB

@@ -117,36 +117,53 @@ def _forward_eval(cfg: UNetConfig, params, batch_stats, x, dc_fn, compute_dtype)
     return out.astype(jnp.float32)
 
 
-def _float_dc(cfg, params, batch_stats, name, h, compute_dtype, record=None):
-    """Float DoubleConv that optionally records per-conv-input max|x|."""
+def _float_dc(cfg, params, batch_stats, name, h, compute_dtype, record=None, stat=None):
+    """Float DoubleConv that optionally records a per-conv-input
+    amplitude statistic (stat(|x|) -> scalar)."""
     act = _activation_fn(cfg.activation)
     precision = lax.Precision.HIGHEST if compute_dtype == jnp.float32 else lax.Precision.DEFAULT
     p, s = params[name], batch_stats[name]
     pad = [(1, 1), (1, 1)]
     if record is not None:
-        record[f"{name}/conv1"] = jnp.max(jnp.abs(h)).astype(jnp.float32)
+        record[f"{name}/conv1"] = stat(jnp.abs(h)).astype(jnp.float32)
     y = _conv(h, p["conv1_w"], pad, compute_dtype, precision)
     y, _, _ = _batch_norm(y, p["bn1_scale"], p["bn1_bias"], s["bn1_mean"], s["bn1_var"], False)
     y = act(y).astype(compute_dtype)
     if record is not None:
-        record[f"{name}/conv2"] = jnp.max(jnp.abs(y)).astype(jnp.float32)
+        record[f"{name}/conv2"] = stat(jnp.abs(y)).astype(jnp.float32)
     y = _conv(y, p["conv2_w"], pad, compute_dtype, precision)
     y, _, _ = _batch_norm(y, p["bn2_scale"], p["bn2_bias"], s["bn2_mean"], s["bn2_var"], False)
     return act(y).astype(compute_dtype)
 
 
 def calibrate_act_scales(
-    cfg: UNetConfig, params, batch_stats, calib_x, *, channels_last: bool = False
+    cfg: UNetConfig,
+    params,
+    batch_stats,
+    calib_x,
+    *,
+    channels_last: bool = False,
+    percentile: float = 100.0,
 ) -> Dict[str, float]:
     """Static per-tensor activation scales from an f32 forward over a
-    representative batch: scale = max|x| / 127 at each quantized site."""
+    representative batch: scale = stat(|x|) / 127 at each quantized site,
+    where stat is max (percentile=100, default) or the given percentile of
+    |x| — clipping rare outliers spends the 8-bit range on the bulk of the
+    distribution, which can lower quantization error on real sensor data
+    at the cost of saturating the outliers. Validate via float_delta."""
     if not channels_last:
         calib_x = jnp.transpose(jnp.asarray(calib_x), (0, 2, 3, 1))
+    if percentile >= 100.0:
+        stat = jnp.max
+    else:
+        stat = lambda a: jnp.percentile(a.reshape(-1), percentile)
 
     @jax.jit
     def run(x):
         record: Dict[str, jnp.ndarray] = {}
-        dc = lambda name, h: _float_dc(cfg, params, batch_stats, name, h, jnp.float32, record)
+        dc = lambda name, h: _float_dc(
+            cfg, params, batch_stats, name, h, jnp.float32, record, stat
+        )
         _forward_eval(cfg, params, batch_stats, x, dc, jnp.float32)
         return record
 
@@ -166,13 +183,16 @@ def quantize_unet(
     calib_x,
     *,
     channels_last: bool = False,
+    percentile: float = 100.0,
 ) -> QuantizedUNet:
     """Calibrate + quantize; reports the output RMSE vs the f32 graph on
     the calibration batch in .float_delta (same units as the network
     output, i.e. normalized depth — multiply by (d_max-d_min)/norm_scale
-    for mm)."""
+    for mm). percentile < 100 clips activation-scale outliers
+    (calibrate_act_scales)."""
     act_scale = calibrate_act_scales(
-        cfg, params, batch_stats, calib_x, channels_last=channels_last
+        cfg, params, batch_stats, calib_x,
+        channels_last=channels_last, percentile=percentile,
     )
 
     @jax.jit

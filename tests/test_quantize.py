@@ -212,3 +212,23 @@ def test_streaming_engine_accepts_quantized_predictor(rng):
     assert len(outs) == 4 and outs[0].shape == (1, 2, 32, 43)
     want = np.asarray(qpred.predict_dual_frames(frames[:1], base, (32, 43)))
     np.testing.assert_allclose(outs[0], want, rtol=1e-6)
+
+
+def test_percentile_calibration(tiny_net, rng):
+    """percentile < 100 clips outliers: scales shrink vs max-calibration,
+    and accuracy on in-distribution inputs stays bounded."""
+    from gelslim_depth_tpu.models.quantize import calibrate_act_scales
+
+    cfg, params, stats = tiny_net
+    x = jnp.asarray(rng.uniform(0, 1, (4, 3, 32, 43)).astype(np.float32))
+    full = calibrate_act_scales(cfg, params, stats, x)
+    clipped = calibrate_act_scales(cfg, params, stats, x, percentile=99.0)
+    assert set(full) == set(clipped)
+    assert all(clipped[k] <= full[k] + 1e-12 for k in full)
+    assert any(clipped[k] < full[k] for k in full)
+
+    q = quantize_unet(cfg, params, stats, x, percentile=99.0)
+    y_q = unet_apply_int8(q, x, compute_dtype=jnp.float32)
+    y_f, _ = unet_apply(cfg, params, stats, x, train=False)
+    spread = float(jnp.max(y_f) - jnp.min(y_f)) + 1e-6
+    assert float(jnp.sqrt(jnp.mean((y_q - y_f) ** 2))) < 0.1 * spread + 5e-3

@@ -91,6 +91,9 @@ def fused_predict_dual(
     n = frames.shape[0]
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    # the kernel hard-wires the area resize; any other configured
+    # interp_method must take the XLA path that honors it
+    use_pallas = use_pallas and config.interp_method == "area"
     if use_pallas and (base_frame is None or base_frame.ndim == 3):
         from gelslim_depth_tpu.ops.normalize import image_norm_coeffs
         from gelslim_depth_tpu.ops.pallas import fused_preprocess_dual
@@ -241,9 +244,24 @@ class QuantizedPredictor:
 
     @property
     def delta_mm(self) -> float:
-        """Calibration-batch output RMSE vs the float graph, in mm."""
-        lo, hi = self.config.depth_normalization_parameters[:2]
-        return float(self.q.float_delta) * abs(hi - lo) / self.config.norm_scale
+        """Calibration-batch output RMSE vs the float graph, in mm.
+
+        The network output is in normalized-depth units; the mm factor is
+        the denormalization slope of the configured depth method
+        (ref normalization_utils.py:101-130): (max-min)/norm_scale for the
+        min_max methods, std for mean_std."""
+        cfg = self.config
+        p = cfg.depth_normalization_parameters
+        if p is None:
+            raise ValueError(
+                "delta_mm needs config.depth_normalization_parameters "
+                "(the frozen training statistics) to convert to mm"
+            )
+        if cfg.depth_normalization_method == "mean_std":
+            factor = float(p[3])
+        else:
+            factor = abs(float(p[1]) - float(p[0])) / cfg.norm_scale
+        return float(self.q.float_delta) * factor
 
     def save(self, ckpt_dir: str, name: str = None) -> str:
         """Persist the quantized model so serving skips re-calibration."""

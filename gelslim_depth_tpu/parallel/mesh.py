@@ -151,9 +151,14 @@ def make_dp_fused_predictor(
     frames_sh = NamedSharding(mesh, P(axis_name, None, None, None))
 
     def fwd(params, batch_stats, frames, base):
+        # use_pallas=False: pallas_call has no SPMD partitioning rule, so
+        # under the batch-sharded jit the auto-enabled kernel would force
+        # replication/all-gather of the sharded frames — the XLA front-end
+        # partitions cleanly and its cost is negligible at serving batch
+        # sizes (docs/PERFORMANCE.md)
         return fused_predict_dual(
             config, unet_cfg, params, batch_stats, frames, base,
-            tuple(output_size), compute_dtype=compute_dtype,
+            tuple(output_size), compute_dtype=compute_dtype, use_pallas=False,
         )
 
     return jax.jit(
@@ -187,9 +192,11 @@ def make_dp_fused_predictor_int8(
     frames_sh = NamedSharding(mesh, P(axis_name, None, None, None))
 
     def fwd(q, frames, base):
+        # use_pallas=False for the same partitioning reason as
+        # make_dp_fused_predictor above
         return fused_predict_dual(
             config, q.cfg, q.params, q.batch_stats, frames, base,
-            tuple(output_size), compute_dtype=compute_dtype,
+            tuple(output_size), compute_dtype=compute_dtype, use_pallas=False,
             net_fn=lambda x: unet_apply_int8(q, x, compute_dtype=compute_dtype),
         )
 

@@ -35,10 +35,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def is_initialized() -> bool:
     """True when jax.distributed has been initialized in this process.
 
-    Reads the distributed client state directly — deliberately NOT via
+    Reads the distributed client state — deliberately NOT via
     jax.process_count(), which would *initialize the backend* as a side
     effect and thereby make a later jax.distributed.initialize impossible
-    (the round-1 bug in this module's guard)."""
+    (the round-1 bug in this module's guard). Prefers the public
+    jax.distributed.is_initialized with a private-state fallback for
+    older releases."""
+    fn = getattr(jax.distributed, "is_initialized", None)
+    if fn is not None:
+        return bool(fn())
     from jax._src import distributed
 
     return distributed.global_state.client is not None
@@ -54,10 +59,15 @@ def initialize(
 
     Must be called before any JAX backend use (device queries, jit, ...).
     With no arguments it still calls jax.distributed.initialize when the
-    environment carries coordination config (Cloud TPU metadata, SLURM,
-    JAX_COORDINATOR_ADDRESS), because jax.distributed autodetects those;
-    with neither arguments nor environment it is a no-op, which is what
-    single-process tests and the single-chip CLI paths exercise."""
+    environment carries coordination config — JAX_COORDINATOR_ADDRESS,
+    SLURM, or a Cloud TPU pod-slice worker env (TPU_WORKER_HOSTNAMES /
+    TPU_WORKER_ID, where jax autodetects the rest from the metadata
+    server); with neither arguments nor any of those markers it is a
+    no-op, which is what single-process tests and the single-chip CLI
+    paths exercise. Passing num_processes/process_id WITHOUT a
+    coordinator_address is an error rather than a silent drop: the
+    degraded alternative is N independent single-host runs that
+    double-write checkpoints."""
     if is_initialized():
         return
     if coordinator_address is not None:
@@ -68,10 +78,30 @@ def initialize(
             **kw,
         )
         return
+    if num_processes is not None or process_id is not None:
+        raise ValueError(
+            "multihost.initialize: num_processes/process_id were given "
+            "without coordinator_address — refusing to silently fall back "
+            "to single-process mode. Pass coordinator_address=<host0>:<port> "
+            "(or rely on Cloud TPU/SLURM autodetection with no arguments)."
+        )
     import os
 
-    if any(v in os.environ for v in ("JAX_COORDINATOR_ADDRESS", "SLURM_JOB_ID")):
-        jax.distributed.initialize(**kw)
+    markers = (
+        "JAX_COORDINATOR_ADDRESS",
+        "SLURM_JOB_ID",
+        "TPU_WORKER_HOSTNAMES",
+        "TPU_WORKER_ID",
+    )
+    if any(v in os.environ for v in markers):
+        # best-effort: the markers are hints, not proof of a pod slice
+        # (single-host TPU terminals also set TPU_WORKER_*). When jax's
+        # cluster autodetection cannot assemble a coordinator from them,
+        # stay single-process rather than crash the single-chip CLI.
+        try:
+            jax.distributed.initialize(**kw)
+        except ValueError:
+            pass
 
 
 def process_local_indices(n_global: int, *, process_index: Optional[int] = None) -> np.ndarray:

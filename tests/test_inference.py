@@ -195,3 +195,29 @@ def test_dp_fused_predictor_matches_single(bundle):
     assert len(got.sharding.device_set) == 8
     want = pred.predict_dual_frames(frames, base, (80, 107))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_auto_disabled_for_non_area_interp(rng):
+    """The Pallas front-end hard-wires the area resize; a config with
+    interp_method='bilinear' must take the XLA path that honors it even
+    when use_pallas=True is requested."""
+    import jax
+
+    from gelslim_depth_tpu.inference import fused_predict_dual
+    from gelslim_depth_tpu.models.unet import init_unet
+
+    config = GelslimConfig(
+        CNN_dimensions=(4, 8), input_tactile_image_size=(16, 21),
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        depth_normalization_parameters=(-1.9, 0.0), norm_scale=0.9,
+        use_difference_image=True, interp_method="bilinear",
+    )
+    params, stats = init_unet(jax.random.PRNGKey(0), config.unet_config())
+    frames = jnp.asarray(rng.uniform(0, 255, (2, 6, 32, 43)).astype(np.float32))
+    base = jnp.asarray(rng.uniform(0, 255, (6, 32, 43)).astype(np.float32))
+    y_p = fused_predict_dual(config, config.unet_config(), params, stats,
+                             frames, base, (32, 43), use_pallas=True)
+    y_x = fused_predict_dual(config, config.unet_config(), params, stats,
+                             frames, base, (32, 43), use_pallas=False)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), rtol=1e-6)

@@ -106,3 +106,14 @@ def test_two_process_training_matches_single_process(tmp_path):
     # only process 0 wrote checkpoints/logs
     assert os.path.exists(tmp_path / "proc0" / "weights" / "mh.npz")
     assert not os.path.exists(tmp_path / "proc1" / "weights" / "mh.npz")
+
+
+def test_initialize_rejects_process_args_without_coordinator():
+    """num_processes/process_id without coordinator_address must raise —
+    the silent alternative is N independent single-host runs."""
+    from gelslim_depth_tpu.parallel import multihost
+
+    with pytest.raises(ValueError):
+        multihost.initialize(num_processes=2)
+    with pytest.raises(ValueError):
+        multihost.initialize(process_id=1)

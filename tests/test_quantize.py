@@ -232,3 +232,33 @@ def test_percentile_calibration(tiny_net, rng):
     y_f, _ = unet_apply(cfg, params, stats, x, train=False)
     spread = float(jnp.max(y_f) - jnp.min(y_f)) + 1e-6
     assert float(jnp.sqrt(jnp.mean((y_q - y_f) ** 2))) < 0.1 * spread + 5e-3
+
+
+def test_delta_mm_conversion_per_method(tiny_net, rng):
+    """delta_mm must use the configured depth method's denormalization
+    slope: (max-min)/norm_scale for min_max methods, std for mean_std."""
+    from gelslim_depth_tpu.inference import QuantizedPredictor
+
+    cfg, params, stats = tiny_net
+    x = jnp.asarray(rng.uniform(0, 1, (2, 3, 32, 43)).astype(np.float32))
+    q = quantize_unet(cfg, params, stats, x)
+    delta = float(q.float_delta)
+
+    mm_cfg = GelslimConfig(
+        CNN_dimensions=DIMS, depth_normalization_method="min_max_to_0_-1",
+        depth_normalization_parameters=(-1.8, 0.0), norm_scale=0.9,
+    )
+    qp = QuantizedPredictor(mm_cfg, q)
+    assert abs(qp.delta_mm - delta * 1.8 / 0.9) < 1e-9
+
+    ms_cfg = GelslimConfig(
+        CNN_dimensions=DIMS, depth_normalization_method="mean_std",
+        depth_normalization_parameters=(-1.8, 0.0, -0.4, 0.25), norm_scale=0.9,
+    )
+    qp = QuantizedPredictor(ms_cfg, q)
+    assert abs(qp.delta_mm - delta * 0.25) < 1e-9
+
+    none_cfg = GelslimConfig(CNN_dimensions=DIMS)
+    qp = QuantizedPredictor(none_cfg, q)
+    with pytest.raises(ValueError):
+        qp.delta_mm

@@ -7,6 +7,10 @@
     python -m gelslim_depth_tpu generate-depth [flags...]
     python -m gelslim_depth_tpu view <sub_dir> <data_name>
 
+Plus one TPU-native addition with no reference counterpart:
+
+    python -m gelslim_depth_tpu quantize <weights_name> [flags...]  # int8 PTQ
+
 The positional `device`/`gpu` argument is accepted for drop-in
 compatibility with the reference commands but ignored — device selection
 on TPU is the runtime's job, not a CLI string (ref train_unet.py:58,194).
@@ -34,6 +38,8 @@ def main(argv=None):
         from gelslim_depth_tpu.cli.generate_depth_cmd import run
     elif cmd == "view":
         from gelslim_depth_tpu.cli.view_cmd import run
+    elif cmd == "quantize":
+        from gelslim_depth_tpu.cli.quantize_cmd import run
     else:
         print(f"unknown command {cmd!r}\n{__doc__}")
         return 2

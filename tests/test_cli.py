@@ -135,3 +135,40 @@ def test_cli_reference_artifact_migration(tmp_path, monkeypatch):
         "--torch_pth", str(tmp_path / "mig.pth"),
     ]) == 0
     assert os.path.exists(tmp_path / "test_output" / "depth_predictions.png")
+
+
+def test_cli_quantize_command(tmp_path, monkeypatch):
+    """quantize command: checkpoint + dataset dir in -> <name>_int8.npz
+    out, loadable by QuantizedPredictor.from_checkpoint."""
+    import jax
+
+    from gelslim_depth_tpu.config import GelslimConfig
+    from gelslim_depth_tpu.inference import QuantizedPredictor
+    from gelslim_depth_tpu.models.unet import init_unet
+    from gelslim_depth_tpu.train.checkpoint import save_weights
+
+    monkeypatch.chdir(tmp_path)
+    cfg = GelslimConfig(
+        weights_name="qcli", CNN_dimensions=(4, 8),
+        input_tactile_image_size=(16, 21),
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        depth_normalization_parameters=(-1.9, 0.0), norm_scale=0.9,
+        use_difference_image=True,
+    )
+    params, stats = init_unet(jax.random.PRNGKey(0), cfg.unet_config())
+    wdir = str(tmp_path / "weights")
+    save_weights(wdir, cfg, params, stats, emit_torch_pth=False)
+
+    data = tmp_path / "data" / "train_data"
+    os.makedirs(data)
+    rng = np.random.RandomState(0)
+    save_pt(make_synthetic_object(rng, n=6, image_size=(32, 43)), str(data / "obj_train.pt"))
+
+    assert cli_main([
+        "quantize", "qcli", "0", "--weights_dir", wdir,
+        "--data_path", str(tmp_path / "data"), "--calib_frames", "4",
+    ]) == 0
+    assert os.path.exists(os.path.join(wdir, "qcli_int8.npz"))
+    qpred = QuantizedPredictor.from_checkpoint(wdir)
+    assert qpred.delta_mm < 0.05

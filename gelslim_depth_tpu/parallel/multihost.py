@@ -96,12 +96,22 @@ def initialize(
     if any(v in os.environ for v in markers):
         # best-effort: the markers are hints, not proof of a pod slice
         # (single-host TPU terminals also set TPU_WORKER_*). When jax's
-        # cluster autodetection cannot assemble a coordinator from them,
-        # stay single-process rather than crash the single-chip CLI.
+        # cluster autodetection cannot assemble a coordinator from them
+        # (ValueError), or the backend is already up in this process
+        # (RuntimeError — library use after jax started), stay
+        # single-process rather than crash the single-chip paths.
         try:
             jax.distributed.initialize(**kw)
-        except ValueError:
-            pass
+        except (ValueError, RuntimeError) as e:
+            import warnings
+
+            warnings.warn(
+                f"multihost.initialize: environment suggests a cluster "
+                f"({[v for v in markers if v in os.environ]}) but "
+                f"jax.distributed autodetection did not engage ({e}); "
+                f"continuing single-process. Pass coordinator_address "
+                f"explicitly for pod-slice runs."
+            )
 
 
 def process_local_indices(n_global: int, *, process_index: Optional[int] = None) -> np.ndarray:

@@ -35,6 +35,10 @@ def run(argv):
     p.add_argument("--torch_pth", default=None,
                    help="load weights from a torch .pth state dict (e.g. the "
                         "published unet_bigdata.pth) instead of a .npz checkpoint")
+    p.add_argument("--int8", action="store_true",
+                   help="evaluate the quantized serving artifact "
+                        "(<weights_name>_int8.npz from the quantize command) "
+                        "instead of the float checkpoint")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -56,7 +60,14 @@ def run(argv):
         pt_files = [f for name in args.objects for f in pt_files if name in f]
     pt_files = pt_files[:5]
 
-    if args.config_module or args.torch_pth:
+    if args.int8:
+        from gelslim_depth_tpu.inference import QuantizedPredictor
+
+        predictor = QuantizedPredictor.from_checkpoint(args.weights_dir, args.weights_name)
+        config = predictor.config
+        print(f"int8 artifact: calibration delta {predictor.delta_mm:.5f} mm "
+              f"vs float graph")
+    elif args.config_module or args.torch_pth:
         # reference-artifact migration path: generated config .py +
         # published torch weights, no retraining or conversion step needed
         from gelslim_depth_tpu.config import GelslimConfig

@@ -172,3 +172,10 @@ def test_cli_quantize_command(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(wdir, "qcli_int8.npz"))
     qpred = QuantizedPredictor.from_checkpoint(wdir)
     assert qpred.delta_mm < 0.05
+
+    # the evaluation harness consumes the artifact via --int8
+    assert cli_main([
+        "test", "qcli", "0", "train_data", "--data_path", str(tmp_path / "data"),
+        "--weights_dir", wdir, "--int8",
+    ]) == 0
+    assert os.path.exists(tmp_path / "test_output" / "depth_predictions.png")

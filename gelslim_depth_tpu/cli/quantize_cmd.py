@@ -79,8 +79,10 @@ def run(argv):
         config.weights_name = args.weights_name
         pred = Predictor.from_torch_checkpoint(args.torch_pth, config, compute_dtype=jnp.bfloat16)
     else:
-        pred = Predictor.from_checkpoint(args.weights_dir, compute_dtype=jnp.bfloat16)
-        config = pred.config
+        from gelslim_depth_tpu.train import load_checkpoint
+
+        config, params, stats = load_checkpoint(args.weights_dir, args.weights_name)
+        pred = Predictor(config, params, stats, compute_dtype=jnp.bfloat16)
 
     dataset_path = args.data_path
     if dataset_path is None:

@@ -96,7 +96,9 @@ def test_compiled_mosaic_smoke():
     )
     proc = subprocess.run(
         [sys.executable, "-c", code], env=env, cwd=repo,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=560,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        timeout=1200,  # cold Mosaic compile through the tunneled compiler
+                       # can take minutes under full-suite load
     )
     out = proc.stdout.decode()
     if proc.returncode == 42:

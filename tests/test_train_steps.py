@@ -151,7 +151,10 @@ class TestDataParallel:
             d_state, l = dp(d_state, xs, ys)
             d_losses.append(float(l))
 
-        np.testing.assert_allclose(d_losses, s_losses, rtol=1e-5, atol=1e-7)
+        # cross-device reductions reassociate f32 sums, so DP loss is
+        # close-but-not-bit-equal to single-device (divergence compounds
+        # slightly through the BN/grad chain across steps)
+        np.testing.assert_allclose(d_losses, s_losses, rtol=1e-4, atol=1e-6)
         np.testing.assert_allclose(
             np.asarray(d_state.params["inc"]["conv1_w"]),
             np.asarray(s_state.params["inc"]["conv1_w"]),

@@ -121,9 +121,13 @@ def test_create_train_state_reinit():
 
 
 class TestDataParallel:
-    def test_dp_matches_single_device(self, rng):
+    def test_dp_matches_single_device(self):
         from gelslim_depth_tpu.parallel import make_mesh, make_dp_train_step, replicate, shard_batch
 
+        # own rng (NOT the shared session fixture): the comparison below is
+        # tolerance-tuned, and Adam amplifies reduction-reassociation noise
+        # data-dependently — the test data must not shift with suite order
+        rng = np.random.RandomState(42)
         assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
         sd = make_state_dict(rng, DIMS)
         params, stats = import_torch_state_dict(sd, CFG)

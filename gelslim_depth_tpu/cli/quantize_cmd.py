@@ -36,12 +36,18 @@ def parse_args(argv):
     p.add_argument("--percentile", type=float, default=100.0,
                    help="Activation-scale percentile (<100 clips outliers)")
     p.add_argument("--seed", type=int, default=0)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.torch_pth and not args.config_module:
+        p.error("--torch_pth requires --config_module")
+    return args
 
 
-def _load_calibration_frames(dataset_dir: str, n: int, seed: int):
-    """Raw (n, 6, H, W) frames + a (6, H, W) base frame from the first
-    .pt files of a split directory."""
+def _load_calibration_frames(dataset_dir: str, n: int, seed: int, *, need_base: bool):
+    """Raw (n, 6, H, W) frames + a (6, H, W) base frame from the .pt files
+    of a split directory. With need_base (difference-image configs) the
+    scan continues past the frame quota until a base frame is found —
+    calibrating a diff-image model on non-difference inputs would produce
+    scales (and a fitness delta) for the wrong input distribution."""
     import numpy as np
 
     from gelslim_depth_tpu.data.pt_io import load_pt
@@ -53,13 +59,20 @@ def _load_calibration_frames(dataset_dir: str, n: int, seed: int):
         d = load_pt(os.path.join(dataset_dir, fname))
         if "tactile_image" not in d:
             continue
-        frames.append(np.asarray(d["tactile_image"], np.float32))
+        if sum(f.shape[0] for f in frames) < n:
+            frames.append(np.asarray(d["tactile_image"], np.float32))
         if base is None and "base_tactile_image" in d:
             base = np.asarray(d["base_tactile_image"], np.float32)[0]
-        if sum(f.shape[0] for f in frames) >= n:
+        if sum(f.shape[0] for f in frames) >= n and (base is not None or not need_base):
             break
     if not frames:
         raise FileNotFoundError(f"no .pt files with tactile_image in {dataset_dir}")
+    if need_base and base is None:
+        raise FileNotFoundError(
+            f"config.use_difference_image is set but no base_tactile_image "
+            f"was found in any .pt under {dataset_dir} — refusing to "
+            f"calibrate on the wrong input distribution"
+        )
     allf = np.concatenate(frames, axis=0)
     rng = np.random.RandomState(seed)
     idx = rng.choice(allf.shape[0], size=min(n, allf.shape[0]), replace=False)
@@ -74,7 +87,6 @@ def run(argv):
     from gelslim_depth_tpu.inference import Predictor
 
     if args.torch_pth:
-        assert args.config_module, "--torch_pth requires --config_module"
         config = GelslimConfig.from_python_module(args.config_module)
         config.weights_name = args.weights_name
         pred = Predictor.from_torch_checkpoint(args.torch_pth, config, compute_dtype=jnp.bfloat16)
@@ -90,7 +102,10 @@ def run(argv):
 
         dataset_path = main_config.DATA_PATH
     calib_dir = os.path.join(dataset_path, args.calib_dir)
-    frames, base = _load_calibration_frames(calib_dir, args.calib_frames, args.seed)
+    frames, base = _load_calibration_frames(
+        calib_dir, args.calib_frames, args.seed,
+        need_base=bool(config.use_difference_image),
+    )
     print(f"calibrating on {frames.shape[0]} frames from {calib_dir}"
           + ("" if base is not None else " (no base frame found)"))
 

@@ -61,6 +61,10 @@ def run(argv):
     pt_files = pt_files[:5]
 
     if args.int8:
+        if args.config_module or args.torch_pth:
+            p.error("--int8 evaluates a quantized artifact; it cannot be "
+                    "combined with --config_module/--torch_pth (quantize "
+                    "the artifact first with the quantize command)")
         from gelslim_depth_tpu.inference import QuantizedPredictor
 
         predictor = QuantizedPredictor.from_checkpoint(args.weights_dir, args.weights_name)

@@ -95,14 +95,15 @@ def initialize(
     )
     if any(v in os.environ for v in markers):
         # best-effort: the markers are hints, not proof of a pod slice
-        # (single-host TPU terminals also set TPU_WORKER_*). When jax's
-        # cluster autodetection cannot assemble a coordinator from them
-        # (ValueError), or the backend is already up in this process
-        # (RuntimeError — library use after jax started), stay
-        # single-process rather than crash the single-chip paths.
-        try:
-            jax.distributed.initialize(**kw)
-        except (ValueError, RuntimeError) as e:
+        # (single-host TPU terminals also set TPU_WORKER_*). Swallow ONLY
+        # the two benign outcomes — autodetection cannot assemble a
+        # coordinator from the env (ValueError), or the backend is already
+        # up in this process (the specific 'must be called before'
+        # RuntimeError from library use after jax started). Genuine
+        # cluster-init failures (coordinator unreachable, barrier timeout)
+        # re-raise: silently degrading a real pod slice to N independent
+        # trainings corrupts the run.
+        def _warn(e):
             import warnings
 
             warnings.warn(
@@ -112,6 +113,16 @@ def initialize(
                 f"continuing single-process. Pass coordinator_address "
                 f"explicitly for pod-slice runs."
             )
+
+        try:
+            jax.distributed.initialize(**kw)
+        except ValueError as e:
+            _warn(e)
+        except RuntimeError as e:
+            if "must be called before" in str(e):
+                _warn(e)
+            else:
+                raise
 
 
 def process_local_indices(n_global: int, *, process_index: Optional[int] = None) -> np.ndarray:

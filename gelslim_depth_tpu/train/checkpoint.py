@@ -196,7 +196,10 @@ def save_quantized(ckpt_dir: str, config: GelslimConfig, q, *, name: str = None)
     )
     path = os.path.join(ckpt_dir, f"{name}_int8.npz")
     np.savez(path, **flat)
-    config.save_json(os.path.join(ckpt_dir, f"{name}.json"))
+    # own json name: writing <name>.json here could clobber an existing
+    # float checkpoint's frozen config (e.g. quantizing a reference .pth
+    # under a name that already exists in the directory)
+    config.save_json(os.path.join(ckpt_dir, f"{name}_int8.json"))
     return path
 
 
@@ -211,7 +214,10 @@ def load_quantized(ckpt_dir: str, name: str = None):
         cands = [f[:-9] for f in os.listdir(ckpt_dir) if f.endswith("_int8.npz")]
         assert len(cands) == 1, f"expected one *_int8.npz in {ckpt_dir}, found {cands}"
         name = cands[0]
-    config = GelslimConfig.from_json(os.path.join(ckpt_dir, f"{name}.json"))
+    cfg_path = os.path.join(ckpt_dir, f"{name}_int8.json")
+    if not os.path.exists(cfg_path):  # artifacts from before the rename
+        cfg_path = os.path.join(ckpt_dir, f"{name}.json")
+    config = GelslimConfig.from_json(cfg_path)
     unet_cfg = config.unet_config()
     with np.load(os.path.join(ckpt_dir, f"{name}_int8.npz")) as z:
         flat = {k: z[k] for k in z.files}

@@ -179,3 +179,40 @@ def test_cli_quantize_command(tmp_path, monkeypatch):
         "--weights_dir", wdir, "--int8",
     ]) == 0
     assert os.path.exists(tmp_path / "test_output" / "depth_predictions.png")
+
+
+def test_cli_quantize_refuses_missing_base_for_diff_config(tmp_path, monkeypatch):
+    """A difference-image config must not silently calibrate on raw frames
+    when the dataset carries no base_tactile_image."""
+    import jax
+    import pytest as _pytest
+
+    from gelslim_depth_tpu.config import GelslimConfig
+    from gelslim_depth_tpu.models.unet import init_unet
+    from gelslim_depth_tpu.train.checkpoint import save_weights
+
+    monkeypatch.chdir(tmp_path)
+    cfg = GelslimConfig(
+        weights_name="qnb", CNN_dimensions=(4, 8),
+        input_tactile_image_size=(16, 21),
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        depth_normalization_parameters=(-1.9, 0.0), norm_scale=0.9,
+        use_difference_image=True,
+    )
+    params, stats = init_unet(jax.random.PRNGKey(0), cfg.unet_config())
+    wdir = str(tmp_path / "weights")
+    save_weights(wdir, cfg, params, stats, emit_torch_pth=False)
+
+    data = tmp_path / "data" / "train_data"
+    os.makedirs(data)
+    rng = np.random.RandomState(0)
+    obj = make_synthetic_object(rng, n=6, image_size=(32, 43))
+    del obj["base_tactile_image"]
+    save_pt(obj, str(data / "obj_train.pt"))
+
+    with _pytest.raises(FileNotFoundError, match="base_tactile_image"):
+        cli_main([
+            "quantize", "qnb", "0", "--weights_dir", wdir,
+            "--data_path", str(tmp_path / "data"), "--calib_frames", "4",
+        ])

@@ -104,12 +104,16 @@ class Trainer:
         # repeated padding samples. static_batch_shapes=False restores the
         # bit-exact ragged path (always on in the DP trainer regardless).
         self.static_batch_shapes = static_batch_shapes
-        # scan_epochs runs each whole epoch as ONE jitted lax.scan program
-        # (single-device path): the per-batch gather + step live on-device,
-        # so an epoch costs one dispatch and one scalar readback. On
-        # tunneled TPU terminals, per-call overhead on the many-output
-        # train step was measured in minutes — this amortizes it away.
-        self.scan_epochs = scan_epochs and mesh is None
+        # scan_epochs runs each whole TRAIN epoch as ONE jitted lax.scan
+        # program: the per-batch gather + step live on-device, so an epoch
+        # costs one dispatch and one scalar readback. On tunneled TPU
+        # terminals, per-call overhead on the many-output train step was
+        # measured in minutes — this amortizes it away. Single-device AND
+        # single-process DP both support it (the DP variant
+        # sharding-constrains each gathered batch over the mesh inside the
+        # scan body); multi-host cannot (each process feeds only its local
+        # rows). Finalized below once multihost is known.
+        self.scan_epochs = scan_epochs
         # multi-host: feed per-process local shards of each global batch
         # (assembled via make_array_from_process_local_data); process 0
         # owns all filesystem side effects
@@ -155,6 +159,16 @@ class Trainer:
                 self.unet_cfg, mesh, compute_dtype=compute_dtype, masked=True
             )
             self.state = replicate(mesh, self.state)
+            self.scan_epochs = self.scan_epochs and not self.multihost
+            if self.scan_epochs:
+                from gelslim_depth_tpu.train.steps import make_train_epoch_fn
+
+                self._train_epoch_fn = jax.jit(
+                    make_train_epoch_fn(
+                        self.unet_cfg, self.optimizer, compute_dtype=compute_dtype,
+                        remat=remat, mesh=mesh,
+                    )
+                )
         else:
             self.n_shard = None
             masked = static_batch_shapes
@@ -260,16 +274,31 @@ class Trainer:
                 global_batch_from_local(self.mesh, masks[b, rows]),
             )
 
+    def _scan_arrays(self, ds: BakedDataset):
+        """Dataset tensors for the scan-epoch program. DP: replicated over
+        the mesh once (the scan body's gathers then shard each batch)."""
+        if self.mesh is None:
+            return ds.tactile_image, ds.depth_image
+        key = ("scan", id(ds))
+        if key not in self._host_ds_cache:
+            from gelslim_depth_tpu.parallel import replicate
+
+            self._host_ds_cache[key] = (
+                replicate(self.mesh, ds.tactile_image),
+                replicate(self.mesh, ds.depth_image),
+            )
+        return self._host_ds_cache[key]
+
     def _train_epoch(self, seed: int) -> float:
         # per-batch losses stay on device; ONE host readback per epoch
         # (each sync costs a full tunnel round-trip)
         losses = []
         it = BatchIterator(self.train_ds, self.config.batch_size, shuffle=True, seed=seed)
         if self.scan_epochs:
-            perm, masks = it.padded_epoch_indices()
+            perm, masks = it.padded_epoch_indices(pad_to_multiple_of=self.n_shard)
+            images, depths = self._scan_arrays(self.train_ds)
             self.state, loss = self._train_epoch_fn(
-                self.state, self.train_ds.tactile_image, self.train_ds.depth_image,
-                jnp.asarray(perm), jnp.asarray(masks),
+                self.state, images, depths, jnp.asarray(perm), jnp.asarray(masks),
             )
             return float(loss)
         if self.mesh is not None:
@@ -289,7 +318,9 @@ class Trainer:
     def _eval_epoch(self, ds: BakedDataset, seed: int) -> float:
         losses = []
         it = BatchIterator(ds, self.config.batch_size, shuffle=True, seed=seed)
-        if self.scan_epochs:
+        if self.scan_epochs and self.mesh is None:
+            # (DP keeps the per-batch eval path: eval is cheap relative to
+            # training and needs no scan-amortized dispatch)
             perm, masks = it.padded_epoch_indices()
             return float(
                 self._eval_epoch_fn(

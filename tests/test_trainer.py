@@ -153,10 +153,19 @@ def test_dp_trainer(tmp_path, datasets):
     cfg = small_cfg(batch_size=8)
     mesh = make_mesh(4)
     tr = Trainer(cfg, train, val, val, output_dir=str(tmp_path), enable_plots=False, mesh=mesh)
+    assert tr.scan_epochs  # single-process DP defaults to scan epochs
     hist = tr.fit(max_epochs=3)
     assert len(hist["train_loss"]) == 3
     assert np.isfinite(hist["train_loss"]).all()
     assert hist["train_loss"][-1] < hist["train_loss"][0]
+
+    # the scan-epoch DP path must match the per-batch DP loop
+    tr2 = Trainer(cfg, train, val, val, output_dir=str(tmp_path / "loop"),
+                  enable_plots=False, mesh=mesh, scan_epochs=False)
+    assert not tr2.scan_epochs
+    hist2 = tr2.fit(max_epochs=3)
+    np.testing.assert_allclose(hist["train_loss"], hist2["train_loss"], rtol=1e-4)
+    np.testing.assert_allclose(hist["validation_loss"], hist2["validation_loss"], rtol=1e-4)
 
 
 def test_plots_emitted(tmp_path, datasets):

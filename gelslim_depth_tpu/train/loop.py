@@ -119,7 +119,9 @@ class Trainer:
         # owns all filesystem side effects
         self.multihost = mesh is not None and jax.process_count() > 1
         self.is_main = jax.process_index() == 0
-        self._host_ds_cache: Dict[int, tuple] = {}
+        # host copies for multi-host feeding (keyed id(ds)) and replicated
+        # device copies for DP scan epochs (keyed ("scan", id(ds)))
+        self._host_ds_cache: Dict = {}
 
         self.weights_dir = os.path.join(output_dir, "weights")
         self.loss_values_path = os.path.join(output_dir, "loss_values")

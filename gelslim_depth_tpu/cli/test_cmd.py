@@ -40,6 +40,10 @@ def run(argv):
                         "(<weights_name>_int8.npz from the quantize command) "
                         "instead of the float checkpoint")
     args = p.parse_args(argv)
+    if args.int8 and (args.config_module or args.torch_pth):
+        p.error("--int8 evaluates a quantized artifact; it cannot be "
+                "combined with --config_module/--torch_pth (quantize the "
+                "artifact first with the quantize command)")
 
     import jax.numpy as jnp
 
@@ -61,10 +65,6 @@ def run(argv):
     pt_files = pt_files[:5]
 
     if args.int8:
-        if args.config_module or args.torch_pth:
-            p.error("--int8 evaluates a quantized artifact; it cannot be "
-                    "combined with --config_module/--torch_pth (quantize "
-                    "the artifact first with the quantize command)")
         from gelslim_depth_tpu.inference import QuantizedPredictor
 
         predictor = QuantizedPredictor.from_checkpoint(args.weights_dir, args.weights_name)

@@ -216,3 +216,11 @@ def test_cli_quantize_refuses_missing_base_for_diff_config(tmp_path, monkeypatch
             "quantize", "qnb", "0", "--weights_dir", wdir,
             "--data_path", str(tmp_path / "data"), "--calib_frames", "4",
         ])
+
+
+def test_cli_test_int8_rejects_conflicting_flags(tmp_path):
+    with pytest.raises(SystemExit):
+        cli_main([
+            "test", "w", "0", "sub", "--int8",
+            "--torch_pth", str(tmp_path / "x.pth"),
+        ])

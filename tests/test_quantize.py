@@ -262,3 +262,21 @@ def test_delta_mm_conversion_per_method(tiny_net, rng):
     qp = QuantizedPredictor(none_cfg, q)
     with pytest.raises(ValueError):
         qp.delta_mm
+
+
+def test_predictor_quantize_percentile_passthrough(rng):
+    """Predictor.quantize(percentile=...) must reach the calibrator."""
+    config = GelslimConfig(
+        CNN_dimensions=(4, 8), input_tactile_image_size=(16, 21),
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        depth_normalization_parameters=(-1.9, 0.0), norm_scale=0.9,
+        use_difference_image=True,
+    )
+    params, stats = init_unet(jax.random.PRNGKey(6), config.unet_config())
+    pred = Predictor(config, params, stats, compute_dtype=jnp.float32)
+    frames = jnp.asarray(rng.uniform(0, 255, (4, 6, 32, 43)).astype(np.float32))
+    base = jnp.asarray(rng.uniform(0, 255, (6, 32, 43)).astype(np.float32))
+    q_full = pred.quantize(frames, base).q
+    q_clip = pred.quantize(frames, base, percentile=95.0).q
+    assert any(q_clip.act_scale[k] < q_full.act_scale[k] for k in q_full.act_scale)

@@ -280,3 +280,30 @@ def test_predictor_quantize_percentile_passthrough(rng):
     q_full = pred.quantize(frames, base).q
     q_clip = pred.quantize(frames, base, percentile=95.0).q
     assert any(q_clip.act_scale[k] < q_full.act_scale[k] for k in q_full.act_scale)
+
+
+def test_load_quantized_legacy_json_fallback(tmp_path, rng):
+    """Artifacts written before the _int8.json rename stored the config as
+    <name>.json; the loader must still read them."""
+    import os
+
+    from gelslim_depth_tpu.train.checkpoint import load_quantized, save_quantized
+
+    config = GelslimConfig(
+        weights_name="qleg", CNN_dimensions=(4, 8),
+        input_tactile_image_size=(16, 21),
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        depth_normalization_parameters=(-1.9, 0.0), norm_scale=0.9,
+    )
+    params, stats = init_unet(jax.random.PRNGKey(7), config.unet_config())
+    x = jnp.asarray(rng.uniform(0, 1, (2, 3, 16, 21)).astype(np.float32))
+    q = quantize_unet(config.unet_config(), params, stats, x)
+    save_quantized(str(tmp_path), config, q)
+    # simulate a legacy artifact: config only under the bare name
+    os.rename(tmp_path / "qleg_int8.json", tmp_path / "qleg.json")
+    cfg2, q2 = load_quantized(str(tmp_path))
+    assert cfg2.weights_name == "qleg"
+    np.testing.assert_array_equal(
+        np.asarray(q2.w8["down_0"]["conv1"]), np.asarray(q.w8["down_0"]["conv1"])
+    )

@@ -34,3 +34,19 @@ def test_step_timer():
     assert s["n"] == 3  # window trims
     assert s["min_s"] >= 0.002
     assert s["p50_s"] <= s["max_s"]
+
+
+def test_step_timer_window_and_summary():
+    import time
+
+    from gelslim_depth_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(window=3)
+    assert t.summary() == {"n": 0}
+    for _ in range(5):
+        with t.step():
+            time.sleep(0.001)
+    s = t.summary()
+    assert s["n"] == 3  # rolling window keeps the last 3
+    assert 0 < s["min_s"] <= s["p50_s"] <= s["max_s"]
+    assert s["mean_s"] > 0

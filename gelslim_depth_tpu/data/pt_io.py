@@ -219,6 +219,9 @@ def save_pt(obj: Dict[str, Any], path: str) -> None:
             a = np.ascontiguousarray(v)
             if not a.flags.writeable:  # torch rejects non-writable views
                 a = a.copy()
+            if _BFLOAT16 is not None and a.dtype == _BFLOAT16:
+                # torch.from_numpy does not know ml_dtypes; reinterpret bits
+                return torch.from_numpy(a.view(np.uint16).copy()).view(torch.bfloat16)
             return torch.from_numpy(a)
 
         torch.save({k: to_tensor(v) for k, v in obj.items()}, path)
@@ -241,6 +244,8 @@ _NP_TO_STORAGE = {
     np.dtype("uint8"): ("ByteStorage", "torch"),
     np.dtype("bool"): ("BoolStorage", "torch"),
 }
+if _BFLOAT16 is not None:  # the reader supports bf16; keep writes symmetric
+    _NP_TO_STORAGE[_BFLOAT16] = ("BFloat16Storage", "torch")
 
 
 def _save_pt_torchfree(obj: Dict[str, Any], path: str) -> None:

@@ -103,7 +103,25 @@ def initialize(
         # cluster-init failures (coordinator unreachable, barrier timeout)
         # re-raise: silently degrading a real pod slice to N independent
         # trainings corrupts the run.
+        # TPU_WORKER_HOSTNAMES listing SEVERAL hosts is proof of a real
+        # pod slice, not a hint: degrading there would yield N independent
+        # trainings all believing they are process 0 (double-writing
+        # checkpoints). Only single-host/SLURM-ambiguous environments get
+        # the warn-and-continue treatment.
+        hostnames = [
+            h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h.strip()
+        ]
+        definitely_multihost = len(hostnames) > 1
+
         def _warn(e):
+            if definitely_multihost:
+                raise RuntimeError(
+                    f"multihost.initialize: TPU_WORKER_HOSTNAMES names "
+                    f"{len(hostnames)} workers but jax.distributed did not "
+                    f"initialize ({e}); refusing to run this pod slice as "
+                    f"independent single-process trainings. Pass "
+                    f"coordinator_address explicitly."
+                ) from e
             import warnings
 
             warnings.warn(

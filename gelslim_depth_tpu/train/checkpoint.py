@@ -211,8 +211,13 @@ def load_quantized(ckpt_dir: str, name: str = None):
     from gelslim_depth_tpu.models.unet import init_unet
 
     if name is None:
-        cands = [f[:-9] for f in os.listdir(ckpt_dir) if f.endswith("_int8.npz")]
-        assert len(cands) == 1, f"expected one *_int8.npz in {ckpt_dir}, found {cands}"
+        cands = sorted(f[:-9] for f in os.listdir(ckpt_dir) if f.endswith("_int8.npz"))
+        if not cands:
+            raise FileNotFoundError(f"no *_int8.npz quantized artifact in {ckpt_dir}")
+        if len(cands) > 1:
+            raise ValueError(
+                f"ambiguous quantized artifacts in {ckpt_dir}: {cands}; pass name="
+            )
         name = cands[0]
     cfg_path = os.path.join(ckpt_dir, f"{name}_int8.json")
     if not os.path.exists(cfg_path):  # artifacts from before the rename

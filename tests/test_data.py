@@ -50,6 +50,27 @@ class TestPtIO:
         save_pt(d, p)
         np.testing.assert_array_equal(load_pt(p)["a"], d["a"])
 
+    @pytest.mark.parametrize("writer", [save_pt, _save_pt_torchfree])
+    def test_bfloat16_roundtrip(self, tmp_path, rng, writer):
+        """bf16 arrays (an NHWC/bf16-baked pipeline's artifact dtype)
+        survive both writers bit-exactly and stay torch-loadable."""
+        import ml_dtypes
+
+        bf16 = np.dtype(ml_dtypes.bfloat16)
+        d = {"x": rng.randn(3, 5, 7).astype(np.float32).astype(bf16)}
+        p = str(tmp_path / f"bf16_{writer.__name__}.pt")
+        writer(d, p)
+        got = load_pt(p)
+        assert got["x"].dtype == bf16
+        np.testing.assert_array_equal(
+            got["x"].view(np.uint16), d["x"].view(np.uint16)
+        )
+        back = torch.load(p, weights_only=False)["x"]
+        assert back.dtype == torch.bfloat16
+        np.testing.assert_array_equal(
+            back.view(torch.uint16).numpy(), d["x"].view(np.uint16)
+        )
+
 
 def reference_bake_torch(objs, use_diff, target_size, image_params=None, depth_params=None):
     """GeneralDataset preprocessing semantics composed with torch primitives

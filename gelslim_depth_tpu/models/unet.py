@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -194,13 +194,26 @@ def _conv(x, w, padding, compute_dtype, precision):
     )
 
 
-def _batch_norm(x, scale, bias, mean, var, train: bool):
+def _batch_norm(x, scale, bias, mean, var, train: bool, sample_weight=None):
     """Returns (y, batch_mean, batch_var_biased) — stats None in eval.
-    Statistics always accumulate in f32 (bf16 reductions lose precision)."""
+    Statistics always accumulate in f32 (bf16 reductions lose precision).
+
+    sample_weight ((N, 1, 1, 1) f32 of 0/1, train mode only) computes
+    MASK-WEIGHTED batch statistics: padded samples contribute nothing to
+    the mean/variance, so a padded static-shape batch normalizes its valid
+    samples with exactly the statistics the unpadded ragged batch would
+    use (train/steps.py masked steps; the padded rows still flow through
+    the convs but are excluded here and from the masked loss)."""
     if train:
         xf = x.astype(jnp.float32)
-        m = jnp.mean(xf, axis=(0, 1, 2))
-        v = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(m)
+        if sample_weight is None:
+            m = jnp.mean(xf, axis=(0, 1, 2))
+            v = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(m)
+        else:
+            xw = xf * sample_weight
+            n = jnp.sum(sample_weight) * (x.shape[1] * x.shape[2])
+            m = jnp.sum(xw, axis=(0, 1, 2)) / n
+            v = jnp.sum(xf * xw, axis=(0, 1, 2)) / n - jnp.square(m)
         y = (xf - m) * lax.rsqrt(v + BN_EPS) * scale + bias
         return y, m, v
     # eval: fold running stats into one affine (XLA fuses with the conv)
@@ -208,21 +221,25 @@ def _batch_norm(x, scale, bias, mean, var, train: bool):
     return x * inv + (bias - mean * inv), None, None
 
 
-def _double_conv(x, p, s, *, act_name, train, compute_dtype, precision):
+def _double_conv(x, p, s, *, act_name, train, compute_dtype, precision, sample_weight=None):
     """Pure block: returns (y, stats_updates | None). Side-effect free so it
     can be wrapped in jax.checkpoint for rematerialized training."""
     act = _activation_fn(act_name)
     pad = [(1, 1), (1, 1)]  # reference hard-codes padding=1 (unet.py:11,14)
     y = _conv(x, p["conv1_w"], pad, compute_dtype, precision)
-    y, m1, v1 = _batch_norm(y, p["bn1_scale"], p["bn1_bias"], s["bn1_mean"], s["bn1_var"], train)
+    y, m1, v1 = _batch_norm(y, p["bn1_scale"], p["bn1_bias"], s["bn1_mean"], s["bn1_var"], train, sample_weight)
     y = act(y).astype(compute_dtype)
     y = _conv(y, p["conv2_w"], pad, compute_dtype, precision)
-    y, m2, v2 = _batch_norm(y, p["bn2_scale"], p["bn2_bias"], s["bn2_mean"], s["bn2_var"], train)
+    y, m2, v2 = _batch_norm(y, p["bn2_scale"], p["bn2_bias"], s["bn2_mean"], s["bn2_var"], train, sample_weight)
     y = act(y).astype(compute_dtype)
     if not train:
         return y, None
-    n = x.shape[0] * x.shape[1] * x.shape[2]
-    corr = n / max(n - 1, 1)  # torch updates running var with the unbiased estimate
+    if sample_weight is None:
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        corr = n / max(n - 1, 1)  # torch updates running var with the unbiased estimate
+    else:
+        n = jnp.sum(sample_weight) * (x.shape[1] * x.shape[2])
+        corr = n / jnp.maximum(n - 1.0, 1.0)
     updates = {
         "bn1_mean": (1 - BN_MOMENTUM) * s["bn1_mean"] + BN_MOMENTUM * m1,
         "bn1_var": (1 - BN_MOMENTUM) * s["bn1_var"] + BN_MOMENTUM * v1 * corr,
@@ -267,6 +284,7 @@ def unet_apply(
     compute_dtype: jnp.dtype = jnp.float32,
     channels_last: bool = False,
     remat: bool = False,
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, BatchStats]:
     """Run the U-Net. x is NCHW by default (reference convention); pass
     channels_last=True to feed NHWC directly and skip the transposes.
@@ -275,12 +293,20 @@ def unet_apply(
     (jax.checkpoint), trading ~30% extra FLOPs for dropping the block's
     inner activations from HBM — enables much larger training batches.
 
+    sample_mask ((N,) bool, train mode): mask-weighted batch-norm
+    statistics — padded samples are excluded from every BN batch mean/var
+    (and running-stat update), making a padded static-shape batch's math
+    equal to the ragged batch's (see _batch_norm).
+
     Returns (logits in the input layout, new_batch_stats). In eval mode the
     returned batch_stats is the input object unchanged.
     """
     precision = _EXACT if compute_dtype == jnp.float32 else lax.Precision.DEFAULT
     if not channels_last:
         x = jnp.transpose(x, (0, 2, 3, 1))
+    sample_weight = None
+    if train and sample_mask is not None:
+        sample_weight = sample_mask.astype(jnp.float32).reshape(-1, 1, 1, 1)
 
     dc_fn = functools.partial(
         _double_conv,
@@ -288,6 +314,7 @@ def unet_apply(
         train=train,
         compute_dtype=compute_dtype,
         precision=precision,
+        sample_weight=sample_weight,
     )
     if remat:
         dc_fn = jax.checkpoint(dc_fn)

@@ -85,6 +85,18 @@ class Trainer:
         self.config = config
         self.unet_cfg = config.unet_config()
         self.train_ds, self.val_ds, self.test_ds = train_ds, val_ds, test_ds
+        # the dataset's baked layout decides the whole run's layout: NHWC
+        # bakes (bake_dataset(channels_last=True)) feed the model directly
+        # in the TPU conv layout, removing the per-step NCHW->NHWC
+        # activation transpose from the hot loop
+        self.channels_last = bool(getattr(train_ds, "channels_last", False))
+        for split_name, ds in (("val", val_ds), ("test", test_ds)):
+            if bool(getattr(ds, "channels_last", False)) != self.channels_last:
+                raise ValueError(
+                    f"{split_name} split layout (channels_last="
+                    f"{getattr(ds, 'channels_last', False)}) differs from the "
+                    f"train split ({self.channels_last}); bake all splits alike"
+                )
         self.output_dir = output_dir
         self.mesh = mesh
         self.compute_dtype = compute_dtype
@@ -98,11 +110,11 @@ class Trainer:
         # static_batch_shapes pads the ragged tail batch to the full batch
         # size with a per-sample valid mask, so jit compiles exactly ONE
         # train and ONE eval program shape for the whole run (under the
-        # tunneled compiler each extra shape costs minutes). The masked
-        # loss equals the reference's per-batch mean exactly; the only
-        # deviation is that the tail batch's batch-norm statistics see the
-        # repeated padding samples. static_batch_shapes=False restores the
-        # bit-exact ragged path (always on in the DP trainer regardless).
+        # tunneled compiler each extra shape costs minutes). Both the loss
+        # AND the batch-norm statistics are mask-weighted (models/unet.py
+        # _batch_norm), so the padded path computes the same update as the
+        # ragged path (tests/test_train_steps.py::test_padded_vs_ragged);
+        # static_batch_shapes=False keeps the ragged-shape path available.
         self.static_batch_shapes = static_batch_shapes
         # scan_epochs runs each whole TRAIN epoch as ONE jitted lax.scan
         # program: the per-batch gather + step live on-device, so an epoch
@@ -155,10 +167,11 @@ class Trainer:
             self.n_shard = mesh.devices.size
             self._train_step = make_dp_train_step(
                 self.unet_cfg, self.optimizer, mesh, compute_dtype=compute_dtype,
-                masked=True, donate=True, remat=remat,
+                masked=True, donate=True, remat=remat, channels_last=self.channels_last,
             )
             self._eval_step = make_dp_eval_step(
-                self.unet_cfg, mesh, compute_dtype=compute_dtype, masked=True
+                self.unet_cfg, mesh, compute_dtype=compute_dtype, masked=True,
+                channels_last=self.channels_last,
             )
             self.state = replicate(mesh, self.state)
             self.scan_epochs = self.scan_epochs and not self.multihost
@@ -168,7 +181,7 @@ class Trainer:
                 self._train_epoch_fn = jax.jit(
                     make_train_epoch_fn(
                         self.unet_cfg, self.optimizer, compute_dtype=compute_dtype,
-                        remat=remat, mesh=mesh,
+                        remat=remat, mesh=mesh, channels_last=self.channels_last,
                     )
                 )
         else:
@@ -183,22 +196,29 @@ class Trainer:
             self._train_step = jax.jit(
                 make_train_step(
                     self.unet_cfg, self.optimizer, compute_dtype=compute_dtype,
-                    masked=masked, remat=remat,
+                    masked=masked, remat=remat, channels_last=self.channels_last,
                 ),
             )
             self._eval_step = jax.jit(
-                make_eval_step(self.unet_cfg, compute_dtype=compute_dtype, masked=masked)
+                make_eval_step(
+                    self.unet_cfg, compute_dtype=compute_dtype, masked=masked,
+                    channels_last=self.channels_last,
+                )
             )
             if self.scan_epochs:
                 from gelslim_depth_tpu.train.steps import make_train_epoch_fn, make_eval_epoch_fn
 
                 self._train_epoch_fn = jax.jit(
                     make_train_epoch_fn(
-                        self.unet_cfg, self.optimizer, compute_dtype=compute_dtype, remat=remat
+                        self.unet_cfg, self.optimizer, compute_dtype=compute_dtype,
+                        remat=remat, channels_last=self.channels_last,
                     )
                 )
                 self._eval_epoch_fn = jax.jit(
-                    make_eval_epoch_fn(self.unet_cfg, compute_dtype=compute_dtype)
+                    make_eval_epoch_fn(
+                        self.unet_cfg, compute_dtype=compute_dtype,
+                        channels_last=self.channels_last,
+                    )
                 )
 
         # freeze the *learned* preprocessing state into the config artifact,
@@ -433,9 +453,12 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_resume_state(self, name: str = "train_state") -> str:
-        if not self.is_main:
-            return ""
-        return ckpt.save_train_state(self.weights_dir, jax.device_get(self.state), name=name)
+        """Persist the full train state; only the main process writes, but
+        every process returns the same (would-be) checkpoint path so callers
+        need not special-case workers."""
+        if self.is_main:
+            return ckpt.save_train_state(self.weights_dir, jax.device_get(self.state), name=name)
+        return os.path.join(self.weights_dir, f"{name}.npz")
 
     def load_resume_state(self, name: str = "train_state"):
         self.state = ckpt.load_train_state(self.weights_dir, jax.device_get(self.state), name=name)
@@ -482,7 +505,9 @@ class Trainer:
             # jit once: an eager full-model forward would compile every conv
             # as its own program (minutes each through the tunneled compiler)
             self._plot_fwd = jax.jit(
-                lambda p, s, im: unet_apply(self.unet_cfg, p, s, im)[0]
+                lambda p, s, im: unet_apply(
+                    self.unet_cfg, p, s, im, channels_last=self.channels_last
+                )[0]
             )
         rng = np.random.RandomState(self.epoch)
         for split_name, ds in (("train", self.train_ds), ("validation", self.val_ds), ("test", self.test_ds)):
@@ -492,13 +517,18 @@ class Trainer:
             params = jax.device_get(self.state.ema.shadow)
             stats = jax.device_get(self.state.batch_stats)
             pred = self._plot_fwd(params, stats, img)
+            img_np, pred_np, dep_np = (np.asarray(a, np.float32) for a in (img, pred, dep))
+            if self.channels_last:  # -> NCHW for display indexing
+                img_np, pred_np, dep_np = (
+                    a.transpose(0, 3, 1, 2) for a in (img_np, pred_np, dep_np)
+                )
             fig, axes = plt.subplots(len(idx), 3, figsize=(10, 10), squeeze=False)
             for r in range(len(idx)):
                 axes[r, 0].imshow(
-                    np.clip(np.asarray(img[r]).transpose(1, 2, 0) * 255.0, 0, 255).astype(np.uint8)
+                    np.clip(img_np[r].transpose(1, 2, 0) * 255.0, 0, 255).astype(np.uint8)
                 )
-                axes[r, 1].imshow(np.asarray(pred[r, 0]))
-                axes[r, 2].imshow(np.asarray(dep[r, 0]))
+                axes[r, 1].imshow(pred_np[r, 0])
+                axes[r, 2].imshow(dep_np[r, 0])
                 for c in range(3):
                     axes[r, c].set_xticks([])
                     axes[r, c].set_yticks([])

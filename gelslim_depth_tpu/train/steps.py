@@ -28,13 +28,23 @@ from gelslim_depth_tpu.train.ema import EmaState, ema_init, ema_update
 
 def mse_loss(pred: jnp.ndarray, target: jnp.ndarray, valid_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """MSE over all elements; with a per-sample valid_mask (bool, (N,)),
-    padded samples are excluded (used by the DP trainer's static-shape
-    padded tail batches)."""
+    padded samples are excluded (used by the trainers' static-shape padded
+    tail batches). The masked form is sum-based — sum(sq * w) over ONE
+    denominator (valid count x per-sample elements) — so the padded batch's
+    forward value AND gradient scaling are element-for-element identical to
+    the unpadded ragged batch's (tests/test_train_steps.py::
+    test_padded_vs_ragged_exact), rather than equal only in exact
+    arithmetic."""
     if valid_mask is None:
         return jnp.mean(jnp.square(pred - target))
-    per_sample = jnp.mean(jnp.square(pred - target), axis=tuple(range(1, pred.ndim)))
-    m = valid_mask.astype(per_sample.dtype)
-    return jnp.sum(per_sample * m) / jnp.maximum(jnp.sum(m), 1.0)
+    sq = jnp.square(pred - target)
+    m = valid_mask.astype(sq.dtype)
+    w = m.reshape((-1,) + (1,) * (sq.ndim - 1))
+    per_sample_elems = 1
+    for d in sq.shape[1:]:
+        per_sample_elems *= d
+    denom = jnp.maximum(jnp.sum(m), 1.0) * per_sample_elems
+    return jnp.sum(sq * w) / denom
 
 
 class TrainState(NamedTuple):
@@ -103,17 +113,17 @@ def make_train_step(
 ) -> Callable[..., Tuple[TrainState, jnp.ndarray]]:
     """Returns step(state, images, targets[, valid_mask]) -> (state, loss).
     Pure; jit (or shard over a mesh) at the call site. With masked=True the
-    step takes a per-sample bool mask so padded static-shape batches
-    contribute no loss (note: padded samples still enter batch-norm
-    statistics — pad by repeating real samples, not zeros). remat=True
-    rematerializes each DoubleConv in the backward pass for larger
-    batches (jax.checkpoint)."""
+    step takes a per-sample bool mask: padded static-shape batches
+    contribute no loss AND no batch-norm statistics (mask-weighted BN in
+    unet_apply), so a padded batch's update equals the ragged batch's.
+    remat=True rematerializes each DoubleConv in the backward pass for
+    larger batches (jax.checkpoint)."""
 
     def loss_fn(params, batch_stats, images, targets, valid_mask):
         pred, new_stats = unet_apply(
             unet_cfg, params, batch_stats, images,
             train=True, compute_dtype=compute_dtype, channels_last=channels_last,
-            remat=remat,
+            remat=remat, sample_mask=valid_mask,
         )
         return mse_loss(pred, targets, valid_mask), new_stats
 

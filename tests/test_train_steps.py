@@ -89,6 +89,74 @@ def test_nan_batch_skips_update(rng):
     assert int(new_state.step) == 1
 
 
+def test_padded_vs_ragged_exact(rng):
+    """Mask-weighted batch norm: a tail batch padded to the static batch
+    size (repeating sample 0, mask False) must produce the SAME update as
+    the unpadded ragged batch. Losses and batch-norm statistics are
+    asserted at tolerance 0 — padding is mathematically invisible there
+    (masked rows contribute exact zeros to elementwise reductions and
+    every denominator is the identical valid count). Parameters are
+    asserted at ULP tolerance: the batch axis is a CONTRACTING dimension
+    of the conv-gradient dot-generals, and XLA's reduction tree for a
+    (5, ...) contraction differs from a (3, ...) one, so the extra exact
+    zeros still reassociate those sums — a shape-dependent summation-order
+    artifact bounded by ~2 ULP, not a masking error."""
+    sd = make_state_dict(rng, DIMS)
+    params, stats = import_torch_state_dict(sd, CFG)
+    opt = make_optimizer()
+
+    def fresh():
+        return TrainState(params, stats, opt.init(params), ema_init(params), jnp.zeros((), jnp.int32))
+
+    # 3 "epoch" batches of 5/5/3 samples at batch size 5
+    x = rng.uniform(0, 1, (13, 3, 16, 24)).astype(np.float32)
+    y = rng.uniform(-0.9, 0, (13, 1, 16, 24)).astype(np.float32)
+    step = make_train_step(CFG, opt, masked=True)
+
+    def run_epoch(pad):
+        st, losses = fresh(), []
+        for lo in (0, 5, 10):
+            xb, yb = x[lo:lo + 5], y[lo:lo + 5]
+            n = xb.shape[0]
+            if pad and n < 5:  # repeat sample 0, like BatchIterator.padded_epoch
+                xb = np.concatenate([xb, np.repeat(xb[:1], 5 - n, axis=0)])
+                yb = np.concatenate([yb, np.repeat(yb[:1], 5 - n, axis=0)])
+            mask = np.zeros((xb.shape[0],), bool)
+            mask[:n] = True
+            st, l = jax.jit(step)(st, jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(mask))
+            losses.append(float(l))
+        return st, losses
+
+    r_state, r_losses = run_epoch(pad=False)
+    m_state, m_losses = run_epoch(pad=True)
+
+    np.testing.assert_array_equal(m_losses, r_losses)
+    # forward-pass state (BN running stats): bit-equal
+    for r_leaf, m_leaf in zip(
+        jax.tree_util.tree_leaves(r_state.batch_stats),
+        jax.tree_util.tree_leaves(m_state.batch_stats),
+    ):
+        np.testing.assert_array_equal(np.asarray(r_leaf), np.asarray(m_leaf))
+    # gradient-derived state (params, Adam moments, EMA): ULP-level only,
+    # per the conv-gradient contraction argument in the docstring
+    for r_leaf, m_leaf in zip(
+        jax.tree_util.tree_leaves(r_state), jax.tree_util.tree_leaves(m_state)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(r_leaf, np.float64), np.asarray(m_leaf, np.float64),
+            rtol=1e-5, atol=5e-8,
+        )
+
+    # and vs the UNMASKED step the mask-weighted full-batch math agrees to
+    # float reassociation noise (different but equivalent reduction forms)
+    plain = jax.jit(make_train_step(CFG, opt))
+    p_state, p_losses = fresh(), []
+    for lo in (0, 5, 10):
+        p_state, l = plain(p_state, jnp.asarray(x[lo:lo + 5]), jnp.asarray(y[lo:lo + 5]))
+        p_losses.append(float(l))
+    np.testing.assert_allclose(m_losses, p_losses, rtol=1e-5, atol=1e-7)
+
+
 def test_eval_step_uses_ema_params(rng):
     sd = make_state_dict(rng, DIMS)
     params, stats = import_torch_state_dict(sd, CFG)

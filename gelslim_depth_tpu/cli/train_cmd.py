@@ -49,6 +49,14 @@ def parse_args(argv):
     p.add_argument("--process_id", type=int, default=None,
                    help="Multi-host: this host's process index")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--channels_last", action="store_true",
+                   help="Bake the datasets NHWC (TPU conv layout) so the "
+                        "hot loop pays no per-step layout transpose; "
+                        "numerically equivalent to the NCHW default")
+    p.add_argument("--bf16_data", action="store_true",
+                   help="Store baked tactile images as bfloat16 (halves "
+                        "their HBM footprint and gather traffic); "
+                        "statistics and depth targets stay float32")
     p.add_argument("--plots", action="store_true",
                    help="live matplotlib triptychs + loss curves per epoch "
                         "(the reference's always-on behavior; costs an extra "
@@ -162,6 +170,8 @@ def run(argv):
         depth_image_blur_kernel=config.depth_image_blur_kernel,
         max_datapoints_per_object=args.max_datapoints_per_object,
         interp_method=config.interp_method,
+        channels_last=args.channels_last,
+        image_store_dtype=jnp.bfloat16 if args.bf16_data else None,
     )
     print(f"Baking train set ({len(train_o)} objects + {len(rtrain_o)} real)...")
     train_ds = bake_dataset(

@@ -52,14 +52,21 @@ def _get_depth(data: Dict) -> Optional[np.ndarray]:
 
 @dataclasses.dataclass
 class BakedDataset:
-    """Preprocessed, normalized, device-resident arrays."""
+    """Preprocessed, normalized, device-resident arrays.
 
-    tactile_image: jnp.ndarray  # (N, 3, h, w) normalized
-    depth_image: jnp.ndarray    # (N, 1, h, w) normalized
+    channels_last=True stores (N, h, w, C) — the TPU conv layout — so the
+    hot training loop never pays the per-step NCHW->NHWC activation
+    transpose at the model boundary (the round-2 train-MFU finding;
+    docs/PERFORMANCE.md). Statistics are always computed/frozen in f32
+    regardless of the storage dtype."""
+
+    tactile_image: jnp.ndarray  # (N, 3, h, w) normalized (or NHWC)
+    depth_image: jnp.ndarray    # (N, 1, h, w) normalized (or NHWC)
     object_index: jnp.ndarray   # (N,) int32
     depth_normalization_parameters: Tuple[float, float, float, float]
     image_normalization_parameters: Tuple[list, list, list, list]
     input_tactile_image_size: Tuple[int, int]
+    channels_last: bool = False
 
     def __len__(self) -> int:
         return int(self.tactile_image.shape[0])
@@ -158,11 +165,19 @@ def bake_dataset(
     device=None,
     preloaded: Optional[Sequence[Dict]] = None,
     extra_preloaded: Optional[Sequence[Dict]] = None,
+    channels_last: bool = False,
+    image_store_dtype=None,
 ) -> BakedDataset:
     """Load + preprocess + normalize a dataset split into device arrays.
 
     Mirrors GeneralDataset's constructor contract (general_dataset.py:12-14);
     `preloaded` lets tests/synthetic pipelines pass dicts directly.
+
+    channels_last stores NHWC (see BakedDataset). image_store_dtype (e.g.
+    jnp.bfloat16) casts the stored TACTILE images after f32 statistics and
+    normalization — halving their HBM footprint and per-step gather
+    traffic; depth targets always stay f32 (they are the loss targets, and
+    only a quarter of the image bytes).
     """
     rng = np.random.RandomState(seed)
 
@@ -246,6 +261,11 @@ def bake_dataset(
     tactile_n = tactile * mult + add
     ds_, db_, dd_ = depth_norm_coeffs(depth_normalization_method, norm_scale, depth_normalization_parameters)
     depth_n = depth * np.float32(ds_ / dd_) + np.float32(-db_ * ds_ / dd_)
+    if channels_last:
+        tactile_n = np.ascontiguousarray(tactile_n.transpose(0, 2, 3, 1))
+        depth_n = np.ascontiguousarray(depth_n.transpose(0, 2, 3, 1))
+    if image_store_dtype is not None:
+        tactile_n = tactile_n.astype(jnp.dtype(image_store_dtype))
     tactile_n = jax.device_put(tactile_n, device)
     depth_n = jax.device_put(depth_n, device)
 
@@ -256,6 +276,7 @@ def bake_dataset(
         depth_normalization_parameters=tuple(depth_normalization_parameters),
         image_normalization_parameters=tuple(image_normalization_parameters),
         input_tactile_image_size=target_size,
+        channels_last=channels_last,
     )
 
 

@@ -199,6 +199,71 @@ def test_scan_epochs_match_per_step_loop(tmp_path, datasets):
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5, atol=1e-6)
 
 
+def test_channels_last_training_matches_nchw(tmp_path):
+    """An NHWC-baked run (no per-step layout transpose in the hot loop)
+    must be numerically equivalent to the NCHW default — the transpose at
+    bake time is exact and the traced model graph beyond the boundary is
+    identical."""
+    rng = np.random.RandomState(3)
+    objs = [make_synthetic_object(rng, n=8, image_size=(32, 43)) for _ in range(2)]
+    val_objs = [make_synthetic_object(rng, n=4, image_size=(32, 43))]
+    losses = {}
+    for cl in (False, True):
+        train = bake_dataset(
+            preloaded=objs, use_difference_image=True,
+            image_normalization_method="0_255_to_0_1", norm_scale=0.9,
+            channels_last=cl,
+        )
+        val = bake_dataset(
+            preloaded=val_objs, use_difference_image=True,
+            image_normalization_method="0_255_to_0_1", norm_scale=0.9,
+            depth_normalization_parameters=train.depth_normalization_parameters,
+            image_normalization_parameters=train.image_normalization_parameters,
+            channels_last=cl,
+        )
+        assert train.tactile_image.shape[-1 if cl else 1] == 3
+        cfg = small_cfg(training_learning_rate=3e-3)
+        tr = Trainer(cfg, train, val, val, output_dir=str(tmp_path / f"cl{cl}"),
+                     enable_plots=False, seed=0)
+        losses[cl] = tr.fit(max_epochs=3)
+    np.testing.assert_allclose(
+        losses[True]["train_loss"], losses[False]["train_loss"], rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        losses[True]["validation_loss"], losses[False]["validation_loss"], rtol=1e-5, atol=1e-7
+    )
+
+
+def test_channels_last_layout_mismatch_rejected(tmp_path):
+    rng = np.random.RandomState(4)
+    objs = [make_synthetic_object(rng, n=4, image_size=(32, 43))]
+    a = bake_dataset(preloaded=objs, norm_scale=0.9, channels_last=True)
+    b = bake_dataset(preloaded=objs, norm_scale=0.9, channels_last=False)
+    with pytest.raises(ValueError, match="layout"):
+        Trainer(small_cfg(), a, b, b, output_dir=str(tmp_path), enable_plots=False)
+
+
+def test_bf16_stored_images_train(tmp_path):
+    """bf16-stored tactile images (image_store_dtype) keep stats/targets in
+    f32 and still train to a falling loss."""
+    rng = np.random.RandomState(5)
+    objs = [make_synthetic_object(rng, n=8, image_size=(32, 43)) for _ in range(2)]
+    train = bake_dataset(
+        preloaded=objs, use_difference_image=True,
+        image_normalization_method="0_255_to_0_1", norm_scale=0.9,
+        channels_last=True, image_store_dtype=jnp.bfloat16,
+    )
+    assert train.tactile_image.dtype == jnp.bfloat16
+    assert train.depth_image.dtype == jnp.float32
+    assert all(np.isfinite(np.asarray(p)).all() for p in train.image_normalization_parameters)
+    cfg = small_cfg(training_learning_rate=3e-3)
+    tr = Trainer(cfg, train, train, train, output_dir=str(tmp_path),
+                 enable_plots=False, seed=0)
+    hist = tr.fit(max_epochs=10)
+    assert np.isfinite(hist["train_loss"]).all()
+    assert hist["train_loss"][-1] < 0.5 * hist["train_loss"][0]
+
+
 def test_primed_early_stop_semantics(tmp_path, datasets):
     """early_stop_mode='primed' seeds the SMA window with the first val
     loss: flat or decreasing losses never trip the counter (the reference

@@ -60,6 +60,23 @@ def fused_predict(
     return ops.resize(y, output_size, config.interp_method)
 
 
+def dual_frames_to_fingers(
+    config: GelslimConfig, frames: jnp.ndarray, base_frame: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """(N, 6, H, W) dual frames -> (2N, 3, H, W) per-finger images after the
+    configured difference-image step (rows interleave frame-left/frame-right).
+    This IS the XLA serving front-end's first stage; calibration routes
+    through it so the calibration input distribution matches serving
+    (including interp_method downstream and batched (N, 6, H, W) bases)."""
+    n = frames.shape[0]
+    fingers = frames.reshape(n, 2, 3, *frames.shape[-2:]).reshape(2 * n, 3, *frames.shape[-2:])
+    if config.use_difference_image and base_frame is not None:
+        base = jnp.broadcast_to(base_frame, frames.shape) if base_frame.ndim == 3 else base_frame
+        base = base.reshape(n, 2, 3, *frames.shape[-2:]).reshape(2 * n, 3, *frames.shape[-2:])
+        fingers = ops.get_difference_image(fingers, base)
+    return fingers
+
+
 def fused_predict_dual(
     config: GelslimConfig,
     unet_cfg: UNetConfig,
@@ -121,11 +138,7 @@ def fused_predict_dual(
         depth = ops.resize(y, output_size, config.interp_method)
         # pallas layout: rows [0, n) = left finger, [n, 2n) = right
         return jnp.stack([depth[:n, 0], depth[n:, 0]], axis=1)
-    fingers = frames.reshape(n, 2, 3, *frames.shape[-2:]).reshape(2 * n, 3, *frames.shape[-2:])
-    if config.use_difference_image and base_frame is not None:
-        base = jnp.broadcast_to(base_frame, frames.shape) if base_frame.ndim == 3 else base_frame
-        base = base.reshape(n, 2, 3, *frames.shape[-2:]).reshape(2 * n, 3, *frames.shape[-2:])
-        fingers = ops.get_difference_image(fingers, base)
+    fingers = dual_frames_to_fingers(config, frames, base_frame)
     depth = fused_predict(
         config, unet_cfg, params, batch_stats, fingers, output_size,
         compute_dtype=compute_dtype, net_fn=net_fn,
@@ -200,24 +213,19 @@ class Predictor:
         outliers. Check .delta_mm — the output deviation vs the float
         graph on the calibration batch — before deploying."""
         from gelslim_depth_tpu.models.quantize import quantize_unet
-        from gelslim_depth_tpu.ops.normalize import image_norm_coeffs
-        from gelslim_depth_tpu.ops.pallas.preprocess_kernel import (
-            fused_preprocess_dual_reference,
-        )
 
+        # calibration preprocessing == serving preprocessing: the same
+        # diff/resize/normalize chain fused_predict(_dual) traces, honoring
+        # config.interp_method and batched (N, 6, H, W) base frames (the
+        # Pallas kernel computes bit-identical values for the area case, so
+        # this path calibrates both front-ends)
         cfg = self.config
-        scale, bias, denom = image_norm_coeffs(
-            cfg.image_normalization_method, cfg.norm_scale,
-            cfg.image_normalization_parameters, 3,
-        )
-        mult = (scale / denom).astype(np.float32)
-        add = (-bias * scale / denom).astype(np.float32)
         frames = jnp.asarray(calib_frames)
-        base = jnp.zeros_like(frames[0]) if base_frame is None else jnp.asarray(base_frame)
-        x = fused_preprocess_dual_reference(
-            frames, base, mult, add,
-            out_size=cfg.input_tactile_image_size,
-            use_diff=bool(cfg.use_difference_image and base_frame is not None),
+        base = None if base_frame is None else jnp.asarray(base_frame)
+        fingers = dual_frames_to_fingers(cfg, frames, base)
+        x = ops.resize(fingers, cfg.input_tactile_image_size, cfg.interp_method)
+        x = ops.normalize_tactile_image(
+            x, cfg.image_normalization_method, cfg.norm_scale, cfg.image_normalization_parameters
         )
         q = quantize_unet(
             self.unet_cfg, self.params, self.batch_stats, x, percentile=percentile
@@ -320,29 +328,126 @@ class StreamingEngine:
     Exploits JAX's async dispatch for pipelining: submit(frame) enqueues
     device compute and returns immediately; results are collected with
     get()/drain() in FIFO order, so host preprocessing of frame t+1 overlaps
-    device compute of frame t (BASELINE.json config 5's streaming half)."""
+    device compute of frame t (BASELINE.json config 5's streaming half).
 
-    def __init__(self, predictor: Predictor, output_size: Tuple[int, int], base_frame=None):
+    Real-harness semantics on top of the FIFO:
+    - Bounded in-flight depth (max_inflight): a sensor outrunning the chip
+      cannot grow host/device queues without bound.
+    - Drop policy when the queue is full at submit:
+        'oldest' (default): discard the oldest PENDING result and admit the
+          new frame — the live-view behavior (latency stays bounded, the
+          consumer always sees the freshest depth). The dropped frame's
+          already-dispatched compute is not cancelled (async dispatch has
+          no cancellation), only its result is discarded and counted.
+        'newest': refuse the new frame (submit returns False) — the
+          lossless-logging behavior for a consumer that prefers gaps at
+          the input over gaps in the record.
+        'block': wait for the oldest result to materialize, then admit —
+          backpressure to the caller.
+    - update_base(frame): swap the reference (no-contact) base frame
+      between submissions, e.g. after a regrasp; takes effect for every
+      later submit without recompilation (the base is a traced argument).
+    - stats(): throughput/latency self-report over completed frames.
+
+    Note on tunneled dev terminals: sustained throughput there is bounded
+    by the ~50 MB/s H2D tunnel, not this engine or the chip
+    (docs/PERFORMANCE.md); on real TPU-VM PCIe the engine pipelines at the
+    chip's batch-1 latency."""
+
+    def __init__(
+        self,
+        predictor: Predictor,
+        output_size: Tuple[int, int],
+        base_frame=None,
+        *,
+        max_inflight: int = 4,
+        drop_policy: str = "oldest",
+    ):
+        if drop_policy not in ("oldest", "newest", "block"):
+            raise ValueError(f"drop_policy {drop_policy!r}: want oldest|newest|block")
+        if max_inflight < 1:
+            raise ValueError("max_inflight must be >= 1")
         self.predictor = predictor
         self.output_size = tuple(output_size)
         self.base_frame = None if base_frame is None else jnp.asarray(base_frame)
-        self._inflight = []
+        self.max_inflight = int(max_inflight)
+        self.drop_policy = drop_policy
+        self._inflight = []  # (result_array, submit_time)
+        self._submitted = 0
+        self._dropped = 0
+        self._completed = 0
+        self._latency_sum = 0.0
+        self._first_submit_time = None
+        self._last_complete_time = None
 
-    def submit(self, frame) -> None:
+    def update_base(self, base_frame) -> None:
+        self.base_frame = None if base_frame is None else jnp.asarray(base_frame)
+
+    def submit(self, frame) -> bool:
+        """Enqueue one dual frame; returns True if admitted (False only
+        under drop_policy='newest' with a full queue)."""
+        import time as _time
+
+        if len(self._inflight) >= self.max_inflight:
+            if self.drop_policy == "newest":
+                self._dropped += 1
+                return False
+            if self.drop_policy == "oldest":
+                self._inflight.pop(0)
+                self._dropped += 1
+            else:  # block: realize the oldest result as backpressure
+                self._inflight[0][0].block_until_ready()
+                # keep it queued — the consumer still get()s it in order
         frame = jnp.asarray(frame)
         if frame.ndim == 3:
             frame = frame[None]
+        t = _time.perf_counter()
+        if self._first_submit_time is None:
+            self._first_submit_time = t
         out = self.predictor.predict_dual_frames(frame, self.base_frame, self.output_size)
-        self._inflight.append(out)
+        self._inflight.append((out, t))
+        self._submitted += 1
+        return True
+
+    def _realize(self, out, t_submit) -> np.ndarray:
+        import time as _time
+
+        arr = np.asarray(out)
+        now = _time.perf_counter()
+        self._completed += 1
+        self._latency_sum += now - t_submit
+        self._last_complete_time = now
+        return arr
 
     def get(self) -> np.ndarray:
-        return np.asarray(self._inflight.pop(0))
+        out, t = self._inflight.pop(0)
+        return self._realize(out, t)
 
     def drain(self):
-        out = [np.asarray(o) for o in self._inflight]
+        out = [self._realize(o, t) for o, t in self._inflight]
         self._inflight.clear()
         return out
 
     @property
     def pending(self) -> int:
         return len(self._inflight)
+
+    def stats(self) -> dict:
+        """Self-reported counters: frames submitted/completed/dropped, mean
+        submit->result latency, and end-to-end throughput over the
+        completed stream."""
+        elapsed = (
+            self._last_complete_time - self._first_submit_time
+            if self._completed and self._first_submit_time is not None
+            else 0.0
+        )
+        return {
+            "submitted": self._submitted,
+            "completed": self._completed,
+            "dropped": self._dropped,
+            "pending": len(self._inflight),
+            "mean_latency_ms": (
+                1e3 * self._latency_sum / self._completed if self._completed else None
+            ),
+            "throughput_fps": (self._completed / elapsed if elapsed > 0 else None),
+        }

@@ -101,6 +101,77 @@ def test_streaming_engine(bundle):
     np.testing.assert_allclose(outs[2], want, rtol=1e-6, atol=1e-6)
 
 
+def test_streaming_engine_bounded_drop_oldest(bundle):
+    """Default live-view policy: the queue never exceeds max_inflight; the
+    oldest pending result is discarded (and counted) to admit a new frame,
+    and FIFO order of the survivors holds."""
+    rng, sd, cfg, pred = bundle
+    base = rng.uniform(0, 255, (6, 80, 107)).astype(np.float32)
+    eng = StreamingEngine(pred, (80, 107), base_frame=base, max_inflight=2)
+    frames = [rng.uniform(0, 255, (6, 80, 107)).astype(np.float32) for _ in range(5)]
+    for f in frames:
+        assert eng.submit(f)  # always admitted under drop-oldest
+    assert eng.pending == 2
+    st = eng.stats()
+    assert st["submitted"] == 5 and st["dropped"] == 3
+    outs = eng.drain()
+    # the two survivors are the NEWEST two, in order
+    for got, f in zip(outs, frames[3:]):
+        want = np.asarray(pred.predict_dual_frames(f[None], base, (80, 107)))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    st = eng.stats()
+    assert st["completed"] == 2 and st["pending"] == 0
+    assert st["mean_latency_ms"] > 0 and st["throughput_fps"] > 0
+
+
+def test_streaming_engine_drop_newest_and_block(bundle):
+    rng, sd, cfg, pred = bundle
+    base = rng.uniform(0, 255, (6, 80, 107)).astype(np.float32)
+    frames = [rng.uniform(0, 255, (6, 80, 107)).astype(np.float32) for _ in range(4)]
+
+    eng = StreamingEngine(pred, (80, 107), base_frame=base, max_inflight=2,
+                          drop_policy="newest")
+    admitted = [eng.submit(f) for f in frames]
+    assert admitted == [True, True, False, False]
+    assert eng.pending == 2 and eng.stats()["dropped"] == 2
+    # the survivors are the OLDEST two
+    want = np.asarray(pred.predict_dual_frames(frames[0][None], base, (80, 107)))
+    np.testing.assert_allclose(eng.get(), want, rtol=1e-6, atol=1e-6)
+
+    eng = StreamingEngine(pred, (80, 107), base_frame=base, max_inflight=2,
+                          drop_policy="block")
+    for f in frames:
+        assert eng.submit(f)  # backpressure, nothing dropped
+    assert eng.stats()["dropped"] == 0
+    outs = eng.drain()
+    assert len(outs) == 4
+
+    with pytest.raises(ValueError, match="drop_policy"):
+        StreamingEngine(pred, (80, 107), drop_policy="nope")
+
+
+def test_streaming_engine_base_refresh(bundle):
+    """update_base takes effect for subsequent submissions (regrasp flow)."""
+    rng, sd, cfg, pred = bundle
+    base1 = rng.uniform(0, 255, (6, 80, 107)).astype(np.float32)
+    base2 = rng.uniform(0, 255, (6, 80, 107)).astype(np.float32)
+    frame = rng.uniform(0, 255, (6, 80, 107)).astype(np.float32)
+    cfg_diff = small_config()
+    cfg_diff.use_difference_image = True
+    from gelslim_depth_tpu.models.torch_import import import_torch_state_dict as _imp
+
+    params, stats = _imp(sd, cfg_diff.unet_config())
+    pred_diff = Predictor(cfg_diff, params, stats)
+    eng = StreamingEngine(pred_diff, (80, 107), base_frame=base1)
+    eng.submit(frame)
+    eng.update_base(base2)
+    eng.submit(frame)
+    a, b = eng.drain()
+    assert not np.allclose(a, b)  # different base -> different diff image
+    want = np.asarray(pred_diff.predict_dual_frames(frame[None], base2, (80, 107)))
+    np.testing.assert_allclose(b, want, rtol=1e-6, atol=1e-6)
+
+
 def test_config_python_roundtrip(tmp_path):
     cfg = small_config()
     cfg.train_objects = ["pattern_31_rod_train.pt"]

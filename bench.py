@@ -13,9 +13,13 @@ block_until_ready does not synchronize with device execution.
 
 Prints exactly ONE JSON line on stdout:
   {"metric": "dual_frames_per_sec_per_chip", "value": N, "unit": "frames/s",
-   "vs_baseline": N/1000}
+   "vs_baseline": N/1000, ...}
 vs_baseline is against the driver's north-star target of 1,000 dual-sensor
 frames/s/chip (BASELINE.md; the reference publishes no throughput numbers).
+Secondary fields: bf16_value/bf16_mfu/bf16_tflops describe the bf16 parity
+graph; int8_value/int8_delta_mm the quantized serving graph (delta measured
+on HELD-OUT tactile-like frames, distinct from the calibration batch);
+batch1_* the single-frame streaming regime; train_* the training step.
 Diagnostics go to stderr.
 """
 
@@ -36,9 +40,25 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+PEAK_BF16 = 197e12  # v5e bf16 peak FLOP/s
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def make_tactile_frames(seed: int, n: int):
+    """Realistic dual-sensor frames: smooth Gaussian indentations on a
+    noisy base (data/synthetic.py) — the low-contrast, spatially-correlated
+    activation regime real serving sees, unlike uniform noise. Returns
+    (frames (n, 6, 320, 427), base (6, 320, 427))."""
+    from gelslim_depth_tpu.data.synthetic import make_synthetic_object
+
+    obj = make_synthetic_object(np.random.RandomState(seed), n=n, image_size=(320, 427))
+    return (
+        jnp.asarray(obj["tactile_image"]),
+        jnp.asarray(obj["base_tactile_image"][0]),
+    )
 
 
 def main():
@@ -75,7 +95,6 @@ def main():
 
     # model FLOPs for MFU accounting (XLA cost analysis of the full fused
     # graph; v5e bf16 peak = 197 TFLOP/s)
-    peak_flops = 197e12
     flops_per_frame = None
     try:
         x_ca = jnp.asarray(rng.uniform(0, 255, (64, 6, 320, 427)).astype(np.float32))
@@ -95,7 +114,7 @@ def main():
             x = jnp.asarray(rng.uniform(0, 255, (batch, 6, 320, 427)).astype(np.float32))
             dt = device_time(graph, params, stats, x, base, iters=8, repeats=3)
             fps = batch / dt
-            mfu = fps * flops_per_frame / peak_flops if flops_per_frame else 0.0
+            mfu = fps * flops_per_frame / PEAK_BF16 if flops_per_frame else 0.0
             log(f"batch {batch}: {dt * 1e3:.2f} ms/iter, {fps:.1f} frames/s, MFU {mfu * 100:.1f}%")
             if fps > best[0]:
                 best = (fps, batch, mfu)
@@ -106,27 +125,38 @@ def main():
     log(f"best bf16: batch {batch} -> {fps:.1f} dual frames/s/chip")
 
     # --- int8 PTQ serving path (models/quantize.py) ----------------------
-    # Headline promotion rule: the quantized graph becomes the headline
-    # only when its measured output delta vs the f32 graph ON THESE VERY
-    # WEIGHTS is under 10% of the 0.05 mm parity budget — the delta ships
-    # in the JSON as evidence either way.
+    # Calibration AND fitness evaluation use tactile-like frames (smooth
+    # contact blobs on a noisy base), with the fitness delta measured on a
+    # HELD-OUT batch distinct from calibration — the honest number for the
+    # activation-scale regime real serving sees. Headline promotion rule:
+    # the quantized graph becomes the headline only when that held-out
+    # delta vs the f32 graph ON THESE VERY WEIGHTS is under 10% of the
+    # 0.05 mm parity budget — the delta ships in the JSON either way.
     int8_fps, int8_delta_mm, int8_batch = 0.0, float("inf"), None
+    qpred = None
     try:
         from gelslim_depth_tpu.inference import Predictor, fused_predict_dual as _fpd
         from gelslim_depth_tpu.models.quantize import unet_apply_int8
 
         pred = Predictor(config, params, stats, compute_dtype=jnp.bfloat16)
-        calib = jnp.asarray(rng.uniform(0, 255, (8, 6, 320, 427)).astype(np.float32))
-        qpred = pred.quantize(calib, base)
+        calib, tac_base = make_tactile_frames(seed=10, n=8)
+        qpred = pred.quantize(calib, tac_base)
         q = qpred.q
 
-        xv = jnp.asarray(rng.uniform(0, 255, (4, 6, 320, 427)).astype(np.float32))
-        y_q = qpred.predict_dual_frames(xv, base, (320, 427))
-        y_f = fused_predict_dual(config, unet_cfg, params, stats, xv, base, (320, 427),
-                                 compute_dtype=jnp.float32)
+        held_out, _ = make_tactile_frames(seed=11, n=4)
+        y_q = qpred.predict_dual_frames(held_out, tac_base, (320, 427))
+        y_f = fused_predict_dual(config, unet_cfg, params, stats, held_out, tac_base,
+                                 (320, 427), compute_dtype=jnp.float32)
         int8_delta_mm = float(jnp.sqrt(jnp.mean((y_q - y_f) ** 2)))
-        log(f"int8 delta vs f32 graph: {int8_delta_mm:.5f} mm RMSE "
-            f"(calib self-report {qpred.delta_mm:.5f} mm)")
+        log(f"int8 delta vs f32 graph (held-out tactile frames): "
+            f"{int8_delta_mm:.5f} mm RMSE (calib self-report {qpred.delta_mm:.5f} mm)")
+        # uniform-noise delta kept as a distribution-shift diagnostic
+        xu = jnp.asarray(rng.uniform(0, 255, (4, 6, 320, 427)).astype(np.float32))
+        yu_q = qpred.predict_dual_frames(xu, tac_base, (320, 427))
+        yu_f = fused_predict_dual(config, unet_cfg, params, stats, xu, tac_base,
+                                  (320, 427), compute_dtype=jnp.float32)
+        log(f"int8 delta on uniform noise (diagnostic): "
+            f"{float(jnp.sqrt(jnp.mean((yu_q - yu_f) ** 2))):.5f} mm RMSE")
 
         def graph_q(q, x, b, carry):
             return _fpd(config, q.cfg, q.params, q.batch_stats, x + carry, b, (320, 427),
@@ -147,6 +177,77 @@ def main():
     log(f"headline: {'int8' if promote else 'bf16'} batch {head_batch} -> "
         f"{head_fps:.1f} dual frames/s/chip")
 
+    # --- batch-1 streaming (the video-rate serving case) -----------------
+    batch1_bf16_fps = batch1_int8_fps = None
+    try:
+        x1 = jnp.asarray(rng.uniform(0, 255, (1, 6, 320, 427)).astype(np.float32))
+        dt1 = device_time(graph, params, stats, x1, base, iters=8, repeats=3)
+        batch1_bf16_fps = 1.0 / dt1
+        log(f"batch-1 bf16 latency: {dt1 * 1e3:.2f} ms ({batch1_bf16_fps:.0f} dual frames/s)")
+        if qpred is not None:
+            dt1q = device_time(graph_q, qpred.q, x1, base, iters=8, repeats=3)
+            batch1_int8_fps = 1.0 / dt1q
+            log(f"batch-1 int8 latency: {dt1q * 1e3:.2f} ms ({batch1_int8_fps:.0f} dual frames/s)")
+    except Exception as e:
+        log(f"batch-1 diag failed: {type(e).__name__}: {e}")
+    batch1_candidates = [v for v in (batch1_bf16_fps, batch1_int8_fps) if v]
+    batch1_fps = max(batch1_candidates) if batch1_candidates else None
+
+    # --- training step (BASELINE config 3): fwd+bwd+Adam+EMA @ 160x213 ---
+    # NHWC (channels-last baked data, no per-step layout transpose) is the
+    # production path; NCHW bs=16 is kept as the parity-recipe diagnostic.
+    train_fps = train_mfu = train_batch = None
+    train_fps16 = train_mfu16 = None
+    try:
+        from gelslim_depth_tpu.train import create_train_state, make_optimizer, make_train_step
+
+        opt = make_optimizer()
+        state = create_train_state(jax.random.PRNGKey(1), unet_cfg, opt)
+
+        def measure_train(bt, channels_last):
+            step = make_train_step(unet_cfg, opt, compute_dtype=jnp.bfloat16,
+                                   channels_last=channels_last)
+            shape_x = (bt, 160, 213, 3) if channels_last else (bt, 3, 160, 213)
+            shape_y = (bt, 160, 213, 1) if channels_last else (bt, 1, 160, 213)
+            imgs = jnp.asarray(rng.uniform(0, 1, shape_x).astype(np.float32))
+            tgts = jnp.asarray(rng.uniform(-0.9, 0, shape_y).astype(np.float32))
+
+            def train_fn(s, im, tg, carry):
+                new_state, loss = step(s, im + carry, tg)
+                # fold a nonzero-epsilon dependence on EVERY updated leaf
+                # (params, optimizer moments, EMA, batch stats) so no part
+                # of the backward pass or optimizer can be dead-code-
+                # eliminated. (Round-1 bug: probing only outc.b let XLA DCE
+                # the whole backward through the network — the gradient of
+                # the LAST layer's bias needs no chain rule — reporting
+                # ~2,500 samples/s, 1.9x above hardware peak for the true
+                # FLOPs.)
+                leaves = jax.tree_util.tree_leaves(new_state)
+                probe = sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
+                return loss[None] + 1e-20 * probe
+
+            dt = device_time(train_fn, state, imgs, tgts, iters=8, repeats=2)
+            mfu_t = None
+            try:
+                tflops = jax.jit(step).lower(state, imgs, tgts).compile().cost_analysis().get("flops", 0.0)
+                mfu_t = tflops / dt / PEAK_BF16
+            except Exception:
+                pass
+            lay = "NHWC" if channels_last else "NCHW"
+            log(f"train step (bs={bt}, bf16, {lay}): {dt * 1e3:.2f} ms -> "
+                f"{bt / dt:.0f} samples/s"
+                + (f", MFU {mfu_t * 100:.1f}%" if mfu_t else ""))
+            return bt / dt, mfu_t
+
+        train_fps16, train_mfu16 = measure_train(16, channels_last=False)
+        for bt in (16, 128):
+            f_t, m_t = measure_train(bt, channels_last=True)
+            if train_fps is None or f_t > train_fps:
+                train_fps, train_mfu, train_batch = f_t, m_t, bt
+        log("(reference late-run epochs: ~1,250 s; see BASELINE.md)")
+    except Exception as e:
+        log(f"train diag failed: {type(e).__name__}: {e}")
+
     print(
         json.dumps(
             {
@@ -156,23 +257,26 @@ def main():
                 "vs_baseline": round(head_fps / 1000.0, 3),
                 "graph": "int8_ptq" if promote else "bf16",
                 "bf16_value": round(fps, 1),
+                "bf16_mfu": round(mfu, 3),
+                "bf16_tflops": round(fps * flops_per_frame / 1e12, 1) if flops_per_frame else None,
                 "int8_value": round(int8_fps, 1),
                 "int8_delta_mm": None if int8_delta_mm == float("inf") else round(int8_delta_mm, 6),
-                "tflops": round(fps * flops_per_frame / 1e12, 1) if flops_per_frame else None,
-                "mfu": round(mfu, 3),
+                # effective rate of the headline graph against the bf16 cost
+                # model (for int8 this is NOT an MFU — the int8 MXU peak is
+                # 2x — it is the equivalent-bf16 throughput)
+                "headline_equiv_tflops": round(head_fps * flops_per_frame / 1e12, 1) if flops_per_frame else None,
                 "best_batch": head_batch,
+                "batch1_fps": None if batch1_fps is None else round(batch1_fps, 1),
+                "batch1_bf16_fps": None if batch1_bf16_fps is None else round(batch1_bf16_fps, 1),
+                "batch1_int8_fps": None if batch1_int8_fps is None else round(batch1_int8_fps, 1),
+                "train_samples_per_sec": None if train_fps is None else round(train_fps, 1),
+                "train_mfu": None if train_mfu is None else round(train_mfu, 3),
+                "train_batch": train_batch,
+                "train_bs16_nchw_samples_per_sec": None if train_fps16 is None else round(train_fps16, 1),
             }
         )
     )
     sys.stdout.flush()
-
-    # --- batch-1 streaming latency (the video-rate serving case) ---------
-    try:
-        x1 = jnp.asarray(rng.uniform(0, 255, (1, 6, 320, 427)).astype(np.float32))
-        dt1 = device_time(graph, params, stats, x1, base, iters=8, repeats=3)
-        log(f"batch-1 streaming latency: {dt1 * 1e3:.2f} ms ({1 / dt1:.0f} dual frames/s)")
-    except Exception as e:
-        log(f"batch-1 diag failed: {type(e).__name__}: {e}")
 
     # --- stderr diagnostics (not part of the headline metric) ------------
     try:
@@ -211,43 +315,6 @@ def main():
             f"reference: ~minutes/object on CPU Delaunay)")
     except Exception as e:
         log(f"meshgen diag failed: {type(e).__name__}: {e}")
-
-    try:
-        # training-step throughput at the reference's batch size (BASELINE
-        # config 3): fwd+bwd+Adam+EMA on 160x213 inputs
-        from gelslim_depth_tpu.train import create_train_state, make_optimizer, make_train_step
-
-        opt = make_optimizer()
-        state = create_train_state(jax.random.PRNGKey(1), unet_cfg, opt)
-        step = make_train_step(unet_cfg, opt, compute_dtype=jnp.bfloat16)
-        bt = 16
-        imgs = jnp.asarray(rng.uniform(0, 1, (bt, 3, 160, 213)).astype(np.float32))
-        tgts = jnp.asarray(rng.uniform(-0.9, 0, (bt, 1, 160, 213)).astype(np.float32))
-
-        def train_fn(s, im, tg, carry):
-            new_state, loss = step(s, im + carry, tg)
-            # fold a nonzero-epsilon dependence on EVERY updated leaf
-            # (params, optimizer moments, EMA, batch stats) so no part of
-            # the backward pass or optimizer can be dead-code-eliminated.
-            # (Round-1 bug: probing only outc.b let XLA DCE the whole
-            # backward through the network — the gradient of the LAST
-            # layer's bias needs no chain rule — reporting ~2,500
-            # samples/s, 1.9x above hardware peak for the true FLOPs.)
-            leaves = jax.tree_util.tree_leaves(new_state)
-            probe = sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
-            return loss[None] + 1e-20 * probe
-
-        dt = device_time(train_fn, state, imgs, tgts, iters=8, repeats=2)
-        tmfu = ""
-        try:
-            tflops = jax.jit(step).lower(state, imgs, tgts).compile().cost_analysis().get("flops", 0.0)
-            tmfu = f", MFU {tflops / dt / peak_flops * 100:.1f}%"
-        except Exception:
-            pass
-        log(f"train step (bs={bt}, bf16): {dt * 1e3:.2f} ms -> {bt / dt:.0f} samples/s{tmfu} "
-            f"(reference late-run epochs: ~1,250 s; see BASELINE.md)")
-    except Exception as e:
-        log(f"train diag failed: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

@@ -49,6 +49,12 @@ def parse_args(argv):
     p.add_argument("--process_id", type=int, default=None,
                    help="Multi-host: this host's process index")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--shard_dataset", action="store_true",
+                   help="Multi-host: each process bakes only its shard of "
+                        "the object files (round-robin) instead of "
+                        "replicating the dataset on every host; "
+                        "normalization statistics are reduced globally. "
+                        "Batch composition becomes process-local shuffle.")
     p.add_argument("--channels_last", action="store_true",
                    help="Bake the datasets NHWC (TPU conv layout) so the "
                         "hot loop pays no per-step layout transpose; "
@@ -173,6 +179,25 @@ def run(argv):
         channels_last=args.channels_last,
         image_store_dtype=jnp.bfloat16 if args.bf16_data else None,
     )
+    sharded = False
+    if args.shard_dataset:
+        pc, pi = jax.process_count(), jax.process_index()
+        if pc > 1:
+            sharded = True
+            shard = lambda lst: lst[pi::pc]
+            if not shard(train_o) and not shard(rtrain_o):
+                raise SystemExit(
+                    f"--shard_dataset: process {pi} of {pc} would receive no "
+                    f"train files ({len(train_o)} objects total); use the "
+                    f"replicated default for datasets this small"
+                )
+            train_o, val_o, test_o = shard(train_o), shard(val_o), shard(test_o)
+            rtrain_o, rval_o, rtest_o = shard(rtrain_o), shard(rval_o), shard(rtest_o)
+            from gelslim_depth_tpu.parallel.multihost import global_dataset_stats
+
+            common["stats_reduce"] = global_dataset_stats
+        else:
+            print("--shard_dataset ignored: single process")
     print(f"Baking train set ({len(train_o)} objects + {len(rtrain_o)} real)...")
     train_ds = bake_dataset(
         os.path.join(dataset_path, "train_data"), train_o,
@@ -216,6 +241,7 @@ def run(argv):
         starting_weights=starting,
         enable_plots=args.plots,
         remat=args.remat,
+        dataset_sharding="sharded" if sharded else "replicated",
     )
     if args.resume:
         trainer.load_resume_state()

@@ -167,6 +167,7 @@ def bake_dataset(
     extra_preloaded: Optional[Sequence[Dict]] = None,
     channels_last: bool = False,
     image_store_dtype=None,
+    stats_reduce=None,
 ) -> BakedDataset:
     """Load + preprocess + normalize a dataset split into device arrays.
 
@@ -178,6 +179,12 @@ def bake_dataset(
     normalization — halving their HBM footprint and per-step gather
     traffic; depth targets always stay f32 (they are the loss targets, and
     only a quarter of the image bytes).
+
+    stats_reduce((tactile_raw, depth_raw) -> (depth_params, image_params)):
+    replaces the local statistics computation when normalization params are
+    not supplied — the hook for per-host SHARDED baking, where each process
+    holds only its shard and the statistics must be reduced over all
+    processes (parallel.multihost.global_dataset_stats).
     """
     rng = np.random.RandomState(seed)
 
@@ -235,6 +242,14 @@ def bake_dataset(
     depth = np.concatenate(depths, axis=0)
     object_index = np.concatenate(obj_idx, axis=0)
 
+    if stats_reduce is not None and (
+        depth_normalization_parameters is None or image_normalization_parameters is None
+    ):
+        reduced_depth, reduced_image = stats_reduce(tactile, depth)
+        if depth_normalization_parameters is None:
+            depth_normalization_parameters = reduced_depth
+        if image_normalization_parameters is None:
+            image_normalization_parameters = reduced_image
     if depth_normalization_parameters is None:
         depth_normalization_parameters = (
             float(depth.min()), float(depth.max()), float(depth.mean(dtype=np.float64)), _unbiased_std(depth),

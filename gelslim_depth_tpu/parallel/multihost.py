@@ -181,6 +181,63 @@ def process_local_rows(
     return slice(pi * per, (pi + 1) * per)
 
 
+def global_dataset_stats(tactile_local: np.ndarray, depth_local: np.ndarray):
+    """Dataset-GLOBAL normalization statistics from per-process shards.
+
+    Each process passes its raw (pre-normalization) baked arrays
+    (tactile (n_local, C, h, w) or NHWC, depth (n_local, 1, h, w) likewise);
+    partial moments (count, sum, sum-of-squares, min, max) are allgathered
+    over jax.distributed and combined, so every process freezes IDENTICAL
+    statistics equal to the moments of the union dataset. Matches
+    bake_dataset's conventions: depth (min, max, mean, unbiased std) over
+    all values, image per-channel lists. The unbiased std comes from the
+    two-pass-equivalent moment formula in float64 — equal to numpy's
+    ddof=1 result up to f64 rounding (not bit-identical to a single-host
+    np.std, which uses a different summation order).
+
+    Single-process: degenerates to local statistics (no collectives).
+    For per-host sharded baking (the dataset too large to replicate),
+    pass the result into bake_dataset via stats_reduce."""
+    # channel axis: detect layout by which of dims 1/3 is smallest (bake
+    # stores NCHW or NHWC); tactile has 3 channels, depth 1
+    def chan_axis(arr):
+        return 1 if arr.shape[1] <= arr.shape[-1] else arr.ndim - 1
+
+    ct = chan_axis(tactile_local)
+    c = tactile_local.shape[ct]
+    tac = np.moveaxis(tactile_local, ct, 1).astype(np.float64)
+    dep = depth_local.astype(np.float64)
+
+    parts = []
+    for i in range(c):
+        x = tac[:, i]
+        parts.append([x.size, x.sum(), np.square(x).sum(), x.min(), x.max()])
+    parts.append([dep.size, dep.sum(), np.square(dep).sum(), dep.min(), dep.max()])
+    local = np.asarray(parts, np.float64)  # (c+1, 5)
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        gathered = np.asarray(multihost_utils.process_allgather(local))  # (P, c+1, 5)
+    else:
+        gathered = local[None]
+
+    def combine(rows):  # rows: (P, 5) -> (min, max, mean, unbiased std)
+        n = rows[:, 0].sum()
+        s = rows[:, 1].sum()
+        sq = rows[:, 2].sum()
+        mean = s / n
+        var = (sq - n * mean * mean) / (n - 1)
+        return float(rows[:, 3].min()), float(rows[:, 4].max()), float(mean), float(np.sqrt(max(var, 0.0)))
+
+    img = [combine(gathered[:, i]) for i in range(c)]
+    dmin, dmax, dmean, dstd = combine(gathered[:, c])
+    image_params = (
+        [v[0] for v in img], [v[1] for v in img], [v[2] for v in img], [v[3] for v in img],
+    )
+    return (dmin, dmax, dmean, dstd), image_params
+
+
 def global_batch_from_local(mesh: Mesh, local_batch, axis_name: str = "data"):
     """Assemble a globally batch-sharded jax.Array from each process's
     local shard (jax.make_array_from_process_local_data). Each process

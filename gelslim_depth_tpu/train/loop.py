@@ -81,6 +81,7 @@ class Trainer:
         static_batch_shapes: bool = True,
         remat: bool = False,
         scan_epochs: bool = True,
+        dataset_sharding: str = "replicated",
     ):
         self.config = config
         self.unet_cfg = config.unet_config()
@@ -131,6 +132,21 @@ class Trainer:
         # owns all filesystem side effects
         self.multihost = mesh is not None and jax.process_count() > 1
         self.is_main = jax.process_index() == 0
+        # dataset_sharding='sharded': each process's BakedDatasets hold only
+        # ITS shard (disjoint across processes, global statistics resolved
+        # by the caller via bake_dataset(stats_reduce=multihost.
+        # global_dataset_stats)). Batch composition is process-local
+        # shuffle — the global batch concatenates one locally-shuffled
+        # slice per process — so the bit-identical-to-single-process
+        # guarantee of the replicated mode cannot hold; convergence is the
+        # contract (tests/test_multihost.py sharded test). Epochs run as
+        # ONE scan over pre-gathered sharded batch buffers
+        # (make_train_epoch_from_batches_fn), recovering the dispatch
+        # amortization the per-step multi-host path forfeits.
+        if dataset_sharding not in ("replicated", "sharded"):
+            raise ValueError(f"dataset_sharding {dataset_sharding!r}: want replicated|sharded")
+        self.dataset_sharding = dataset_sharding
+        self.sharded = dataset_sharding == "sharded" and self.multihost
         # host copies for multi-host feeding (keyed id(ds)) and replicated
         # device copies for DP scan epochs (keyed ("scan", id(ds)))
         self._host_ds_cache: Dict = {}
@@ -174,8 +190,26 @@ class Trainer:
                 channels_last=self.channels_last,
             )
             self.state = replicate(mesh, self.state)
-            self.scan_epochs = self.scan_epochs and not self.multihost
-            if self.scan_epochs:
+            self.scan_epochs = self.scan_epochs and (not self.multihost or self.sharded)
+            if self.sharded:
+                from gelslim_depth_tpu.train.steps import (
+                    make_eval_epoch_from_batches_fn,
+                    make_train_epoch_from_batches_fn,
+                )
+
+                self._train_epoch_from_batches = jax.jit(
+                    make_train_epoch_from_batches_fn(
+                        self.unet_cfg, self.optimizer, compute_dtype=compute_dtype,
+                        remat=remat, mesh=mesh, channels_last=self.channels_last,
+                    )
+                )
+                self._eval_epoch_from_batches = jax.jit(
+                    make_eval_epoch_from_batches_fn(
+                        self.unet_cfg, compute_dtype=compute_dtype,
+                        mesh=mesh, channels_last=self.channels_last,
+                    )
+                )
+            elif self.scan_epochs:
                 from gelslim_depth_tpu.train.steps import make_train_epoch_fn
 
                 self._train_epoch_fn = jax.jit(
@@ -296,6 +330,57 @@ class Trainer:
                 global_batch_from_local(self.mesh, masks[b, rows]),
             )
 
+    def _sharded_epoch_buffers(self, ds: BakedDataset, seed: int, shuffle: bool = True):
+        """One epoch of pre-gathered batches from THIS process's dataset
+        shard, assembled into globally-sharded buffers:
+        (images (n_steps, global_bs, ...), depths, masks) with the batch
+        axis sharded over the mesh's data axis.
+
+        Every process must run the same number of steps (the collectives
+        inside the step are synchronous), so the LARGEST shard sets
+        n_steps (allgathered once per dataset); smaller shards pad their
+        tail with repeated local rows under mask False — mask-weighted
+        loss/BN make the padding mathematically invisible. Each process
+        shuffles only its own shard (process-local batch composition)."""
+        images, depths = self._host_arrays(ds)
+        n_local = images.shape[0]
+        pc = jax.process_count()
+        global_bs = -(-self.config.batch_size // self.n_shard) * self.n_shard
+        local_bs = global_bs // pc
+
+        key = ("nsteps", id(ds))
+        if key not in self._host_ds_cache:
+            if pc > 1:
+                from jax.experimental import multihost_utils
+
+                counts = np.asarray(
+                    multihost_utils.process_allgather(np.asarray([n_local]))
+                )
+                n_max = int(counts.max())
+            else:
+                n_max = n_local
+            self._host_ds_cache[key] = max(-(-n_max // local_bs), 1)
+        n_steps = self._host_ds_cache[key]
+
+        rng = np.random.RandomState(seed + 7919 * jax.process_index())
+        order = rng.permutation(n_local) if shuffle else np.arange(n_local)
+        total = n_steps * local_bs
+        perm = np.zeros(total, np.int64)
+        mask = np.zeros(total, bool)
+        take = min(total, n_local)
+        perm[:take] = order[:take]
+        mask[:take] = True
+        perm = perm.reshape(n_steps, local_bs)
+        mask = mask.reshape(n_steps, local_bs)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def mk(x):
+            sh = NamedSharding(self.mesh, P(None, "data", *([None] * (x.ndim - 2))))
+            return jax.make_array_from_process_local_data(sh, np.ascontiguousarray(x))
+
+        return mk(images[perm]), mk(depths[perm]), mk(mask)
+
     def _scan_arrays(self, ds: BakedDataset):
         """Dataset tensors for the scan-epoch program. DP: replicated over
         the mesh once (the scan body's gathers then shard each batch)."""
@@ -315,6 +400,15 @@ class Trainer:
         # per-batch losses stay on device; ONE host readback per epoch
         # (each sync costs a full tunnel round-trip)
         losses = []
+        if self.sharded:
+            img, dep, mask = self._sharded_epoch_buffers(self.train_ds, seed=seed)
+            if self.scan_epochs:
+                self.state, loss = self._train_epoch_from_batches(self.state, img, dep, mask)
+                return float(loss)
+            for b in range(img.shape[0]):  # per-step fallback over the buffers
+                self.state, loss = self._train_step(self.state, img[b], dep[b], mask[b])
+                losses.append(loss)
+            return float(np.mean([float(l) for l in jax.device_get(losses)]))
         it = BatchIterator(self.train_ds, self.config.batch_size, shuffle=True, seed=seed)
         if self.scan_epochs:
             perm, masks = it.padded_epoch_indices(pad_to_multiple_of=self.n_shard)
@@ -339,6 +433,9 @@ class Trainer:
 
     def _eval_epoch(self, ds: BakedDataset, seed: int) -> float:
         losses = []
+        if self.sharded:
+            img, dep, mask = self._sharded_epoch_buffers(ds, seed=seed)
+            return float(self._eval_epoch_from_batches(self.state, img, dep, mask))
         it = BatchIterator(ds, self.config.batch_size, shuffle=True, seed=seed)
         if self.scan_epochs and self.mesh is None:
             # (DP keeps the per-batch eval path: eval is cheap relative to

@@ -210,6 +210,95 @@ def make_train_epoch_fn(
     return epoch
 
 
+def make_train_epoch_from_batches_fn(
+    unet_cfg: UNetConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    compute_dtype=jnp.float32,
+    channels_last: bool = False,
+    remat: bool = False,
+    mesh=None,
+    axis_name: str = "data",
+):
+    """A whole training epoch scanned over PRE-GATHERED batch buffers:
+    epoch(state, images, depths, masks) -> (state, mean_loss) with
+    images/depths shaped (n_batches, batch, ...) and masks (n_batches,
+    batch).
+
+    This is the multi-host scan-epoch program: when the dataset is sharded
+    per host, the in-scan gather of make_train_epoch_fn is impossible
+    (no process holds the whole dataset), so each process instead
+    pre-gathers its local rows of every batch host-side and contributes
+    them to one globally-sharded (n_batches, global_batch, ...) buffer
+    (jax.make_array_from_process_local_data, sharded on the BATCH axis).
+    The scan then consumes one sharded batch per step — the whole epoch is
+    one dispatch per process, recovering the dispatch amortization the
+    per-step multi-host path forfeits. Memory: the buffer is one shuffled
+    copy of the local shard (each sample appears once per epoch), so HBM
+    holds shard + buffer, not the global dataset."""
+    step = make_train_step(
+        unet_cfg, optimizer, compute_dtype=compute_dtype, channels_last=channels_last,
+        masked=True, remat=remat,
+    )
+
+    def _constrain(x, spec_nd):
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(axis_name, *([None] * (spec_nd - 1))))
+        )
+
+    def epoch(state: TrainState, images, depths, masks):
+        def body(st, xs):
+            img, dep, m = xs
+            st, loss = step(st, _constrain(img, 4), _constrain(dep, 4), _constrain(m, 1))
+            return st, loss
+
+        state, losses = jax.lax.scan(body, state, (images, depths, masks))
+        return state, jnp.mean(losses)
+
+    return epoch
+
+
+def make_eval_epoch_from_batches_fn(
+    unet_cfg: UNetConfig,
+    *,
+    use_ema: bool = True,
+    compute_dtype=jnp.float32,
+    channels_last: bool = False,
+    mesh=None,
+    axis_name: str = "data",
+):
+    """Evaluation twin of make_train_epoch_from_batches_fn:
+    epoch(state, images, depths, masks) -> mean loss over the buffered
+    sharded batches."""
+    step = make_eval_step(
+        unet_cfg, use_ema=use_ema, compute_dtype=compute_dtype,
+        channels_last=channels_last, masked=True,
+    )
+
+    def _constrain(x, spec_nd):
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(axis_name, *([None] * (spec_nd - 1))))
+        )
+
+    def epoch(state: TrainState, images, depths, masks):
+        def body(_, xs):
+            img, dep, m = xs
+            return None, step(state, _constrain(img, 4), _constrain(dep, 4), _constrain(m, 1))
+
+        _, losses = jax.lax.scan(body, None, (images, depths, masks))
+        return jnp.mean(losses)
+
+    return epoch
+
+
 def make_eval_epoch_fn(
     unet_cfg: UNetConfig,
     *,

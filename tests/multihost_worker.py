@@ -38,19 +38,42 @@ def build_config():
     )
 
 
-def build_datasets():
+def make_all_objects():
+    """The canonical object list every path shares. DELIBERATELY uneven
+    sample counts (9 / 5 / 9 / 7) so round-robin sharding gives the two
+    processes different shard sizes, exercising the sharded trainer's
+    cross-process step-count sync and masked tail padding."""
     import numpy as np
 
-    from gelslim_depth_tpu.data.dataset import bake_dataset
     from gelslim_depth_tpu.data.synthetic import make_synthetic_object
 
     rng = np.random.RandomState(7)
-    objs = [make_synthetic_object(rng, n=9, image_size=IMAGE_SIZE) for _ in range(2)]
+    return [
+        make_synthetic_object(rng, n=n, image_size=IMAGE_SIZE)
+        for n in (9, 5, 9, 7)
+    ], [make_synthetic_object(rng, n=n, image_size=IMAGE_SIZE) for n in (5, 4)]
+
+
+def build_datasets(shard=None):
+    """shard=(process_index, process_count) bakes ONLY that process's
+    round-robin slice of the objects, with globally-reduced statistics
+    (the per-host sharded-dataset mode); None bakes everything
+    (replicated mode)."""
+    from gelslim_depth_tpu.data.dataset import bake_dataset
+
+    objs, val_objs = make_all_objects()
+    kw = {}
+    if shard is not None:
+        pi, pc = shard
+        objs = objs[pi::pc]
+        val_objs = val_objs[pi::pc]
+        from gelslim_depth_tpu.parallel.multihost import global_dataset_stats
+
+        kw["stats_reduce"] = global_dataset_stats
     train = bake_dataset(
         preloaded=objs, use_difference_image=True,
-        image_normalization_method="0_255_to_0_1", norm_scale=0.9,
+        image_normalization_method="0_255_to_0_1", norm_scale=0.9, **kw,
     )
-    val_objs = [make_synthetic_object(rng, n=5, image_size=IMAGE_SIZE)]
     val = bake_dataset(
         preloaded=val_objs, use_difference_image=True,
         image_normalization_method="0_255_to_0_1", norm_scale=0.9,
@@ -60,13 +83,17 @@ def build_datasets():
     return train, val
 
 
-def run_trainer(mesh, output_dir):
+def run_trainer(mesh, output_dir, sharded=False):
+    import jax
+
     from gelslim_depth_tpu.train import Trainer
 
-    train_ds, val_ds = build_datasets()
+    shard = (jax.process_index(), jax.process_count()) if sharded else None
+    train_ds, val_ds = build_datasets(shard=shard)
     trainer = Trainer(
         build_config(), train_ds, val_ds, val_ds,
         output_dir=output_dir, mesh=mesh, enable_plots=False,
+        dataset_sharding="sharded" if sharded else "replicated",
     )
     history = trainer.fit(max_epochs=MAX_EPOCHS)
     return trainer, history
@@ -78,6 +105,7 @@ def main():
     port = int(sys.argv[3])
     out_json = sys.argv[4]
     workdir = sys.argv[5]
+    sharded = len(sys.argv) > 6 and sys.argv[6] == "sharded"
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
@@ -107,9 +135,16 @@ def main():
     mesh = make_mesh()
     assert mesh.devices.size == 2 * nproc
 
-    trainer, history = run_trainer(mesh, os.path.join(workdir, f"proc{pid}"))
+    trainer, history = run_trainer(mesh, os.path.join(workdir, f"proc{pid}"), sharded=sharded)
     assert trainer.multihost
     assert trainer.is_main == (pid == 0)
+    if sharded:
+        assert trainer.sharded and trainer.scan_epochs
+        history = dict(history)
+        # the frozen statistics must be the GLOBAL (union) moments,
+        # identical on every process — record them for the test to check
+        history["depth_norm_params"] = list(trainer.config.depth_normalization_parameters)
+        history["n_local"] = len(trainer.train_ds)
 
     with open(out_json, "w") as f:
         json.dump(history, f)

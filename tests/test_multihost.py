@@ -108,6 +108,97 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert not os.path.exists(tmp_path / "proc1" / "weights" / "mh.npz")
 
 
+def test_global_dataset_stats_single_process_matches_local():
+    """The stats_reduce hook must reproduce bake_dataset's own statistics
+    when there is one process (moment formula vs numpy two-pass)."""
+    from gelslim_depth_tpu.data.dataset import bake_dataset
+    from gelslim_depth_tpu.parallel.multihost import global_dataset_stats
+
+    objs, _ = worker.make_all_objects()
+    plain = bake_dataset(
+        preloaded=objs, use_difference_image=True,
+        image_normalization_method="0_255_to_0_1", norm_scale=0.9,
+    )
+    reduced = bake_dataset(
+        preloaded=objs, use_difference_image=True,
+        image_normalization_method="0_255_to_0_1", norm_scale=0.9,
+        stats_reduce=global_dataset_stats,
+    )
+    np.testing.assert_allclose(
+        reduced.depth_normalization_parameters,
+        plain.depth_normalization_parameters, rtol=1e-10,
+    )
+    for a, b in zip(reduced.image_normalization_parameters, plain.image_normalization_parameters):
+        np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+def test_two_process_sharded_dataset_training(tmp_path):
+    """Per-host SHARDED datasets: each process bakes only its round-robin
+    slice of the objects (uneven shard sizes by construction), statistics
+    reduce globally, and the trainer runs each epoch as one scan over
+    pre-gathered sharded batch buffers. Contract: both processes observe
+    identical (global) losses, the frozen statistics equal the union
+    dataset's moments, the shards really are disjoint and uneven, and the
+    model learns."""
+    port = _free_port()
+    procs, outs = [], []
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    for pid in range(2):
+        out = str(tmp_path / f"history_{pid}.json")
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
+                    str(pid), "2", str(port), out, str(tmp_path), "sharded",
+                ],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"sharded worker {pid} failed:\n{log}"
+
+    histories = []
+    for out in outs:
+        with open(out) as f:
+            histories.append(json.load(f))
+
+    # disjoint, uneven shards: 9+9=18 vs 5+7=12 samples (x2 fingers)
+    ns = sorted(h["n_local"] for h in histories)
+    assert ns == [24, 36], ns
+    # global losses identical on both processes
+    for key in ("train_loss", "validation_loss", "test_loss"):
+        np.testing.assert_allclose(histories[0][key], histories[1][key], rtol=1e-6)
+    # frozen statistics: identical across processes AND equal to the union
+    # dataset's moments (computed here single-process on all objects)
+    np.testing.assert_allclose(
+        histories[0]["depth_norm_params"], histories[1]["depth_norm_params"], rtol=0
+    )
+    from gelslim_depth_tpu.data.dataset import bake_dataset
+
+    objs, _ = worker.make_all_objects()
+    union = bake_dataset(
+        preloaded=objs, use_difference_image=True,
+        image_normalization_method="0_255_to_0_1", norm_scale=0.9,
+    )
+    np.testing.assert_allclose(
+        histories[0]["depth_norm_params"],
+        union.depth_normalization_parameters, rtol=1e-5,
+    )
+    # and it learns (process-local shuffle changes batch composition, so
+    # convergence — not bit-equality with the replicated run — is the bar)
+    tl = histories[0]["train_loss"]
+    assert np.isfinite(tl).all() and tl[-1] < tl[0]
+
+    # only process 0 wrote checkpoints
+    assert os.path.exists(tmp_path / "proc0" / "weights" / "mh.npz")
+    assert not os.path.exists(tmp_path / "proc1" / "weights" / "mh.npz")
+
+
 def test_initialize_rejects_process_args_without_coordinator():
     """num_processes/process_id without coordinator_address must raise —
     the silent alternative is N independent single-host runs."""

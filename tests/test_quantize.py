@@ -124,6 +124,55 @@ def test_quantized_predictor_end_to_end(rng):
     assert np.sqrt(np.mean((y1 - y2) ** 2)) < 0.05
 
 
+def test_tactile_calibration_held_out_fitness(rng):
+    """int8 fitness the honest way (round-2 verdict): calibrate on
+    REALISTIC tactile frames (smooth contact blobs on a noisy base —
+    low-contrast, spatially-correlated diff images, the regime real
+    serving sees), then measure delta_mm on a HELD-OUT batch from a
+    different synthetic object, across the percentile knob. The held-out
+    delta must stay well inside the 0.05 mm parity budget, and the
+    calibration self-report must not understate the held-out error by an
+    order of magnitude."""
+    from gelslim_depth_tpu.data.synthetic import make_synthetic_object
+
+    config = GelslimConfig(
+        CNN_dimensions=DIMS,
+        input_tactile_image_size=(32, 43),
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        depth_normalization_parameters=(-1.9, 0.0),
+        norm_scale=0.9,
+        use_difference_image=True,
+    )
+    params, stats = init_unet(jax.random.PRNGKey(2), config.unet_config())
+    pred = Predictor(config, params, stats)
+
+    calib_obj = make_synthetic_object(np.random.RandomState(20), n=8, image_size=(64, 86))
+    held_obj = make_synthetic_object(np.random.RandomState(21), n=4, image_size=(64, 86))
+    calib = jnp.asarray(calib_obj["tactile_image"])
+    base = jnp.asarray(calib_obj["base_tactile_image"][0])
+    held = jnp.asarray(held_obj["tactile_image"])
+
+    y_f = np.asarray(pred.predict_dual_frames(held, base, (64, 86)))
+    mm = abs(config.depth_normalization_parameters[0]) / config.norm_scale
+
+    held_deltas = {}
+    for pct in (100.0, 99.5, 95.0):
+        qpred = pred.quantize(calib, base, percentile=pct)
+        y_q = np.asarray(qpred.predict_dual_frames(held, base, (64, 86)))
+        held_deltas[pct] = float(np.sqrt(np.mean((y_q - y_f) ** 2)))
+        # self-report on the calibration batch must be the same order as
+        # the held-out truth (no calibration-batch overfitting illusion)
+        assert qpred.delta_mm < 10 * max(held_deltas[pct], 1e-6) + 1e-6
+
+    # max-calibration must already be inside the budget on tactile data
+    assert held_deltas[100.0] < 0.02, held_deltas
+    # aggressive clipping on low-outlier tactile activations should not be
+    # catastrophically worse (the knob exists for drifted distributions)
+    assert held_deltas[95.0] < 0.05, held_deltas
+    del mm
+
+
 def test_dp_int8_fused_predictor_matches_single_device(rng):
     """Config-5 serving at int8: batch-sharded quantized predictor over
     the 8-virtual-device mesh must equal the single-device quantized

@@ -1,0 +1,69 @@
+"""AOT serving export (gelslim_depth_tpu/export.py): StableHLO artifact
+round-trips — serialize the fused dual-frame graph with weights baked in,
+reload WITHOUT the predictor objects, and get identical outputs."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gelslim_depth_tpu.config import GelslimConfig
+from gelslim_depth_tpu.export import ExportedPredictor, export_predictor
+from gelslim_depth_tpu.inference import Predictor
+from gelslim_depth_tpu.models.unet import init_unet
+
+DIMS = (8, 16, 32)
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    config = GelslimConfig(
+        CNN_dimensions=DIMS,
+        input_tactile_image_size=(32, 43),
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        depth_normalization_parameters=(-1.9, 0.0),
+        norm_scale=0.9,
+        use_difference_image=True,
+    )
+    params, stats = init_unet(jax.random.PRNGKey(2), config.unet_config())
+    return Predictor(config, params, stats)
+
+
+def test_export_roundtrip_float(tmp_path, predictor, rng):
+    path = str(tmp_path / "model.gsx")
+    export_predictor(
+        predictor, (64, 86), path=path, batch_sizes=(1, 4), frame_size=(64, 86)
+    )
+    served = ExportedPredictor.load(path)
+    assert served.batch_sizes == [1, 4]
+    assert served.meta["kind"] in ("float32", "bf16")
+
+    frames = rng.uniform(0, 255, (4, 6, 64, 86)).astype(np.float32)
+    base = rng.uniform(0, 255, (6, 64, 86)).astype(np.float32)
+    got = np.asarray(served(frames, base))
+    want = np.asarray(predictor.predict_dual_frames(frames, base, (64, 86)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    # odd batch pads up to the nearest exported size and slices back
+    got2 = np.asarray(served(frames[:3], base))
+    np.testing.assert_allclose(got2, want[:3], rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError, match="largest exported size"):
+        served(np.repeat(frames, 2, axis=0), base)
+
+
+def test_export_roundtrip_int8(tmp_path, predictor, rng):
+    """The int8 PTQ serving graph exports with its quantized weights and
+    static activation scales baked in."""
+    frames = jnp.asarray(rng.uniform(0, 255, (4, 6, 64, 86)).astype(np.float32))
+    base = jnp.asarray(rng.uniform(0, 255, (6, 64, 86)).astype(np.float32))
+    qpred = predictor.quantize(frames, base)
+
+    path = str(tmp_path / "model_int8.gsx")
+    export_predictor(qpred, (64, 86), path=path, batch_sizes=(2,), frame_size=(64, 86))
+    served = ExportedPredictor.load(path)
+    assert served.meta["kind"] == "int8_ptq"
+
+    got = np.asarray(served(frames[:2], base))
+    want = np.asarray(qpred.predict_dual_frames(frames[:2], base, (64, 86)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -214,6 +214,11 @@ def _batch_norm(x, scale, bias, mean, var, train: bool, sample_weight=None):
             n = jnp.sum(sample_weight) * (x.shape[1] * x.shape[2])
             m = jnp.sum(xw, axis=(0, 1, 2)) / n
             v = jnp.sum(xf * xw, axis=(0, 1, 2)) / n - jnp.square(m)
+        # NB: evaluating this normalization chain in bf16 (folded affine
+        # with f32-derived coefficients) was measured at +0.5-1% on v5e —
+        # XLA already fuses the f32 arithmetic into the surrounding ops
+        # without materializing f32 activations — so the parity-clean f32
+        # math stays (docs/PERFORMANCE.md training decomposition)
         y = (xf - m) * lax.rsqrt(v + BN_EPS) * scale + bias
         return y, m, v
     # eval: fold running stats into one affine (XLA fuses with the conv)

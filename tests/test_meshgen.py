@@ -320,3 +320,68 @@ class TestGenerator:
         gen.generate_depth_images_v1()
         d = load_pt(str(data_dir / "cube.pt"))["depth_image"]
         assert abs(d.min() - (-0.5)) < 0.1  # (12-11)/2
+
+
+class TestNativeRenderer:
+    """The C++ CPU renderer (native/meshrender.cpp) must reproduce the JAX
+    renderer's output — same algorithm, same f32 arithmetic; the only
+    tolerated differences are rounding-boundary pixels where libm and XLA
+    cos/sin differ by ULPs, flipping a point's pixel assignment."""
+
+    def test_parity_vs_jax_renderer(self):
+        from gelslim_depth_tpu.meshgen.native_render import (
+            native_renderer_available,
+            render_depth_batch_native,
+        )
+
+        if not native_renderer_available():
+            pytest.skip("no C++ toolchain for the native renderer")
+        rng = np.random.RandomState(3)
+        tri = sphere_triangles(8.0, 3000, seed=3)
+        pts = sample_surface_points(tri, 60_000, seed=4)
+        poses = rng.uniform(-0.003, 0.003, (6, 3)).astype(np.float32)
+        widths = rng.uniform(11, 14, (6,)).astype(np.float32)
+        for lr_flip in (False, True):
+            kw = dict(
+                spec=plane_spec("+y+z"), image_size=(320, 427),
+                mm_per_pixel=12.0 / 320.0, fill_iters=6, lr_flip=lr_flip,
+            )
+            want = np.asarray(render_depth_batch(
+                jnp.asarray(pts), jnp.asarray(poses), jnp.asarray(widths), **kw
+            ))
+            got = render_depth_batch_native(pts, poses, widths, **kw)
+            diff = np.abs(got - want)
+            assert float(np.sqrt((diff**2).mean())) < 0.005
+            assert (diff > 1e-4).mean() < 1e-4  # only rounding-boundary pixels
+
+    def test_generator_native_backend(self, tmp_path):
+        from gelslim_depth_tpu.data.pt_io import load_pt, save_pt
+        from gelslim_depth_tpu.meshgen.native_render import native_renderer_available
+
+        if not native_renderer_available():
+            pytest.skip("no C++ toolchain for the native renderer")
+        mesh_dir, data_dir = tmp_path / "mesh", tmp_path / "data"
+        os.makedirs(mesh_dir)
+        os.makedirs(data_dir)
+        save_stl_binary(str(mesh_dir / "rod.stl"), cube_triangles(size=(0.012, 0.004, 0.004)))
+        save_pt(
+            {
+                "tactile_image": np.zeros((3, 6, 32, 43), np.float32),
+                "in_hand_pose": np.zeros((3, 3), np.float32),
+                "grasp_widths": np.full((3,), 10.0, np.float32),
+            },
+            str(data_dir / "rod_train.pt"),
+        )
+        with open(tmp_path / "grasp_widths.txt", "w") as f:
+            f.write("rod: None\n")
+        gen = DepthImageGenerator(
+            mesh_dir=str(mesh_dir), object_list=["rod"], pc_scale=1000,
+            dataset_dir=str(data_dir), grasp_widths_file=str(tmp_path / "grasp_widths.txt"),
+            gelslim_plane="+y+z", image_size=(32, 43), image_height_mm=12,
+            pc_sampling=30_000, backend="native",
+        )
+        assert gen.backend == "native"
+        gen.generate_depth_images_v1()
+        d = load_pt(str(data_dir / "rod_train.pt"))["depth_image"]
+        assert d.shape == (3, 2, 32, 43) and (d <= 1e-6).all()
+        assert abs(d.min() - (-1.0)) < 0.1

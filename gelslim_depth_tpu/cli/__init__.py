@@ -7,9 +7,10 @@
     python -m gelslim_depth_tpu generate-depth [flags...]
     python -m gelslim_depth_tpu view <sub_dir> <data_name>
 
-Plus one TPU-native addition with no reference counterpart:
+Plus two TPU-native additions with no reference counterpart:
 
     python -m gelslim_depth_tpu quantize <weights_name> [flags...]  # int8 PTQ
+    python -m gelslim_depth_tpu export <weights_name> [flags...]    # AOT .gsx artifact
 
 The positional `device`/`gpu` argument is accepted for drop-in
 compatibility with the reference commands but ignored — device selection
@@ -40,6 +41,8 @@ def main(argv=None):
         from gelslim_depth_tpu.cli.view_cmd import run
     elif cmd == "quantize":
         from gelslim_depth_tpu.cli.quantize_cmd import run
+    elif cmd == "export":
+        from gelslim_depth_tpu.cli.export_cmd import run
     else:
         print(f"unknown command {cmd!r}\n{__doc__}")
         return 2

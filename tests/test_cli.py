@@ -181,6 +181,45 @@ def test_cli_quantize_command(tmp_path, monkeypatch):
     assert os.path.exists(tmp_path / "test_output" / "depth_predictions.png")
 
 
+def test_cli_export_command(tmp_path, monkeypatch):
+    """export command: checkpoint in -> .gsx AOT artifact out, self-checked
+    against the live predictor and loadable by ExportedPredictor."""
+    import jax
+
+    from gelslim_depth_tpu.config import GelslimConfig
+    from gelslim_depth_tpu.export import ExportedPredictor
+    from gelslim_depth_tpu.models.unet import init_unet
+    from gelslim_depth_tpu.train.checkpoint import save_weights
+
+    monkeypatch.chdir(tmp_path)
+    cfg = GelslimConfig(
+        weights_name="xcli", CNN_dimensions=(4, 8),
+        input_tactile_image_size=(16, 21),
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        depth_normalization_parameters=(-1.9, 0.0), norm_scale=0.9,
+        use_difference_image=True,
+    )
+    params, stats = init_unet(jax.random.PRNGKey(0), cfg.unet_config())
+    wdir = str(tmp_path / "weights")
+    save_weights(wdir, cfg, params, stats, emit_torch_pth=False)
+
+    assert cli_main([
+        "export", "xcli", "0", "--weights_dir", wdir, "--f32",
+        "--batch_sizes", "2", "--output_size", "32", "43",
+        "--frame_size", "32", "43", "--check",
+    ]) == 0
+    path = os.path.join(wdir, "xcli.gsx")
+    assert os.path.exists(path)
+    served = ExportedPredictor.load(path)
+    rng = np.random.RandomState(1)
+    out = served(
+        rng.uniform(0, 255, (2, 6, 32, 43)).astype(np.float32),
+        rng.uniform(0, 255, (6, 32, 43)).astype(np.float32),
+    )
+    assert np.asarray(out).shape == (2, 2, 32, 43)
+
+
 def test_cli_quantize_refuses_missing_base_for_diff_config(tmp_path, monkeypatch):
     """A difference-image config must not silently calibrate on raw frames
     when the dataset carries no base_tactile_image."""

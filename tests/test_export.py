@@ -30,7 +30,8 @@ def predictor():
     return Predictor(config, params, stats)
 
 
-def test_export_roundtrip_float(tmp_path, predictor, rng):
+def test_export_roundtrip_float(tmp_path, predictor):
+    rng = np.random.RandomState(11)  # own rng: shared-fixture state must not change the data
     path = str(tmp_path / "model.gsx")
     export_predictor(
         predictor, (64, 86), path=path, batch_sizes=(1, 4), frame_size=(64, 86)
@@ -52,7 +53,8 @@ def test_export_roundtrip_float(tmp_path, predictor, rng):
         served(np.repeat(frames, 2, axis=0), base)
 
 
-def test_export_roundtrip_int8(tmp_path, predictor, rng):
+def test_export_roundtrip_int8(tmp_path, predictor):
+    rng = np.random.RandomState(12)
     """The int8 PTQ serving graph exports with its quantized weights and
     static activation scales baked in."""
     frames = jnp.asarray(rng.uniform(0, 255, (4, 6, 64, 86)).astype(np.float32))

@@ -90,6 +90,10 @@ def run(argv):
         got = np.asarray(served(frames, base))
         want = np.asarray(pred.predict_dual_frames(frames, base, tuple(args.output_size)))
         delta = float(np.sqrt(np.mean((got - want) ** 2)))
-        assert delta < 1e-4, f"exported graph deviates from live predictor: {delta} mm"
+        if delta >= 1e-4:  # not assert: --check must survive python -O
+            raise SystemExit(
+                f"export check FAILED: exported graph deviates from the "
+                f"live predictor by {delta} mm RMSE"
+            )
         print(f"check OK: exported-vs-live RMSE {delta:.2e} mm at batch {n}")
     return 0

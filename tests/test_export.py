@@ -54,9 +54,9 @@ def test_export_roundtrip_float(tmp_path, predictor):
 
 
 def test_export_roundtrip_int8(tmp_path, predictor):
-    rng = np.random.RandomState(12)
     """The int8 PTQ serving graph exports with its quantized weights and
     static activation scales baked in."""
+    rng = np.random.RandomState(12)
     frames = jnp.asarray(rng.uniform(0, 255, (4, 6, 64, 86)).astype(np.float32))
     base = jnp.asarray(rng.uniform(0, 255, (6, 64, 86)).astype(np.float32))
     qpred = predictor.quantize(frames, base)

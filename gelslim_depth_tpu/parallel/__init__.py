@@ -7,6 +7,7 @@ from gelslim_depth_tpu.parallel.mesh import (
     make_dp_predict,
     make_dp_fused_predictor,
     make_dp_fused_predictor_int8,
+    make_spatial_predictor,
 )
 
 __all__ = [
@@ -18,6 +19,7 @@ __all__ = [
     "make_dp_predict",
     "make_dp_fused_predictor",
     "make_dp_fused_predictor_int8",
+    "make_spatial_predictor",
 ]
 
 from gelslim_depth_tpu.parallel.multihost import (

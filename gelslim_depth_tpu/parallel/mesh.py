@@ -168,6 +168,53 @@ def make_dp_fused_predictor(
     )
 
 
+def make_spatial_predictor(
+    config,
+    unet_cfg: UNetConfig,
+    mesh: Mesh,
+    output_size,
+    *,
+    axis_name: str = "data",
+    compute_dtype=jnp.float32,
+):
+    """Single-frame LATENCY scaling: shard the image HEIGHT axis across
+    the mesh instead of the batch axis — the CNN analog of sequence
+    parallelism. Weights replicate; every conv/pool/resize needs only its
+    neighbors' boundary rows, and XLA's GSPMD partitioner derives the halo
+    exchanges (ppermute rings over ICI) from the sharding annotations
+    alone — no hand-written collectives, exactly the mesh-first design
+    SURVEY.md section 2.3 calls for. Where DP (make_dp_fused_predictor)
+    scales THROUGHPUT at fixed per-frame latency, this scales the latency
+    of a single dual frame, the regime batch-1 streaming lives in.
+
+    Output equality with the unsharded graph is tested on the virtual
+    8-device CPU mesh (tests/test_train_steps.py::test_spatial_predictor).
+
+    Returns predict(params, batch_stats, frames, base) -> (N, 2, *out),
+    frames sharded on their height axis."""
+    from gelslim_depth_tpu.inference import fused_predict_dual
+
+    repl = NamedSharding(mesh, P())
+    # NCHW: axis 2 is height, for both the (N, 6, H, W) frames and the
+    # (N, 2, H', W') depth output
+    spatial = NamedSharding(mesh, P(None, None, axis_name, None))
+    base_sh = NamedSharding(mesh, P(None, axis_name, None))
+
+    def fwd(params, batch_stats, frames, base):
+        # use_pallas=False: pallas_call has no SPMD partitioning rule
+        # (same reason as make_dp_fused_predictor)
+        return fused_predict_dual(
+            config, unet_cfg, params, batch_stats, frames, base,
+            tuple(output_size), compute_dtype=compute_dtype, use_pallas=False,
+        )
+
+    return jax.jit(
+        fwd,
+        in_shardings=(repl, repl, spatial, base_sh),
+        out_shardings=spatial,
+    )
+
+
 def make_dp_fused_predictor_int8(
     config,
     q,

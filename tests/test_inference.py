@@ -268,6 +268,36 @@ def test_dp_fused_predictor_matches_single(bundle):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+def test_spatial_predictor_matches_single(bundle):
+    """Height-axis (spatial) sharding — the single-frame LATENCY scaling
+    mode — must produce the unsharded graph's output: GSPMD's derived halo
+    exchanges have to be semantically invisible through every conv, pool,
+    resize contraction, and the skip-concat pad logic."""
+    import jax
+
+    from gelslim_depth_tpu.parallel import make_mesh, make_spatial_predictor, replicate
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng, sd, cfg, pred = bundle
+    mesh = make_mesh(8)
+    predict = make_spatial_predictor(cfg, cfg.unet_config(), mesh, (80, 107))
+
+    frames = jnp.asarray(
+        np.random.RandomState(77).uniform(0, 255, (1, 6, 80, 107)).astype(np.float32)
+    )
+    base = jnp.asarray(
+        np.random.RandomState(78).uniform(0, 255, (6, 80, 107)).astype(np.float32)
+    )
+    fr_sh = jax.device_put(frames, NamedSharding(mesh, P(None, None, "data", None)))
+    base_sh = jax.device_put(base, NamedSharding(mesh, P(None, "data", None)))
+    got = predict(
+        replicate(mesh, pred.params), replicate(mesh, pred.batch_stats), fr_sh, base_sh
+    )
+    assert len(got.sharding.device_set) == 8  # output stays height-sharded
+    want = pred.predict_dual_frames(frames, base, (80, 107))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
 def test_pallas_auto_disabled_for_non_area_interp(rng):
     """The Pallas front-end hard-wires the area resize; a config with
     interp_method='bilinear' must take the XLA path that honors it even

@@ -342,8 +342,10 @@ class StreamingEngine:
         'newest': refuse the new frame (submit returns False) — the
           lossless-logging behavior for a consumer that prefers gaps at
           the input over gaps in the record.
-        'block': wait for the oldest result to materialize, then admit —
-          backpressure to the caller.
+        'block': wait for the oldest result's DEVICE work to finish, then
+          admit — bounding in-flight device compute (the scarce resource)
+          while the completed-result list grows until the consumer
+          get()/drain()s; nothing is ever dropped.
     - update_base(frame): swap the reference (no-contact) base frame
       between submissions, e.g. after a regrasp; takes effect for every
       later submit without recompilation (the base is a traced argument).

@@ -70,6 +70,10 @@ def build_datasets(shard=None):
         from gelslim_depth_tpu.parallel.multihost import global_dataset_stats
 
         kw["stats_reduce"] = global_dataset_stats
+        # the sharded run also exercises the NHWC bake: buffers/steps are
+        # layout-threaded, so this doubles as the multihost channels_last
+        # proof at zero extra test cost
+        kw["channels_last"] = True
     train = bake_dataset(
         preloaded=objs, use_difference_image=True,
         image_normalization_method="0_255_to_0_1", norm_scale=0.9, **kw,
@@ -79,6 +83,7 @@ def build_datasets(shard=None):
         image_normalization_method="0_255_to_0_1", norm_scale=0.9,
         depth_normalization_parameters=train.depth_normalization_parameters,
         image_normalization_parameters=train.image_normalization_parameters,
+        channels_last=kw.get("channels_last", False),
     )
     return train, val
 

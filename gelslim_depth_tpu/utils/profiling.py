@@ -14,6 +14,7 @@ dispatch+readback overhead.
 from __future__ import annotations
 
 import contextlib
+import math
 import time
 from typing import Callable, List
 
@@ -25,14 +26,31 @@ from jax import lax
 def device_time(
     fn: Callable[..., jnp.ndarray],
     *args,
-    iters: int = 8,
+    iters: int | None = None,
     repeats: int = 3,
+    min_chain_s: float = 0.2,
 ) -> float:
     """Seconds per single execution of fn(*args) on-device.
 
     fn must accept a trailing scalar perturbation argument and return an
     array: fn(*args, carry) — the carry (1e-12 * mean of the previous
     output) enforces sequential data dependence between iterations.
+
+    When ``iters`` is None (default), the chain length is auto-scaled to
+    the graph so the *differenced* signal (iters × per-step time) is at
+    least ``min_chain_s`` seconds. This is the fix for the round-3 failure
+    mode: an 8-vs-16-step chain on a ~1 ms graph differs by only ~8 ms —
+    comparable to the tunneled terminal's dispatch jitter — and the
+    difference of two independently-min'd measurements can collapse to
+    near zero, reporting rates far above the hardware roofline (the
+    shipped 0.09 ms batch-1 int8 line, 3.2x over int8 peak). A pilot run
+    estimates the per-step time (differencing 8- and 32-step chains so the
+    constant dispatch+readback overhead cancels in the estimate too), and
+    the chain length is rounded up to a power of two so repeated bench
+    runs hit the persistent compilation cache. Repeats are combined with
+    the median (not min): two independent min's can land on opposite
+    extremes of the jitter distribution, which is exactly how the diff
+    collapsed.
     """
 
     def chained(k):
@@ -45,20 +63,37 @@ def device_time(
 
         return run
 
+    def timed(f):
+        t0 = time.perf_counter()
+        out = float(f(*args))  # the readback is the sync point
+        dt = time.perf_counter() - t0
+        assert out == out, "non-finite output during timing"
+        return dt
+
+    if iters is None:
+        f8 = chained(8)
+        float(f8(*args))  # compile + warm
+        t8 = timed(f8)
+        if t8 > min_chain_s:  # per-step >= min_chain_s/8: overhead negligible
+            dt_est = t8 / 8
+        else:
+            # sub-ms regime: difference two pilot lengths so the constant
+            # dispatch+readback term cancels out of the estimate
+            f32_ = chained(32)
+            float(f32_(*args))
+            dt_est = max((timed(f32_) - t8) / 24.0, 1e-7)
+        iters = 2 ** math.ceil(math.log2(max(min_chain_s / dt_est, 1.0)))
+        iters = min(max(iters, 8), 4096)
+
     f1, f2 = chained(iters), chained(2 * iters)
     float(f1(*args))  # compile + warm
     float(f2(*args))
 
     def measure(f):
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            out = float(f(*args))  # the readback is the sync point
-            best = min(best, time.perf_counter() - t0)
-            assert out == out, "non-finite output during timing"
-        return best
+        ts = sorted(timed(f) for _ in range(repeats))
+        return ts[len(ts) // 2]  # median: robust to outliers on BOTH sides
 
-    return (measure(f2) - measure(f1)) / iters
+    return max((measure(f2) - measure(f1)) / iters, 1e-9)
 
 
 @contextlib.contextmanager

@@ -25,6 +25,44 @@ def test_device_time_scales_with_work():
     assert t_small < 0.5 and np.isfinite(t_big)
 
 
+def test_device_time_auto_chain_scales_iters():
+    """Auto mode (iters=None) must pick a chain long enough that the
+    differenced signal is >= min_chain_s — the round-3 fix for sub-ms
+    graphs whose 8-step chains drowned in dispatch jitter."""
+    def tiny(x, carry):
+        return x + carry
+
+    x = jnp.ones((8, 8), dtype=jnp.float32)
+    # tiny graph -> per-iter ~us -> auto iters must hit the 4096 cap or at
+    # least far exceed the old fixed 8 (use a small target to bound runtime)
+    t = device_time(tiny, x, min_chain_s=0.02, repeats=2)
+    assert t > 0 and np.isfinite(t)
+    assert t < 0.01  # a tiny add is not 10ms/iter — sanity on the estimate
+
+
+def test_roofline_guard_refuses_impossible_rates():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    # a "measurement" that implies 10x the peak must come back suspect
+    dt, rate, frac = bench.roofline_guard(
+        "fake", lambda: 1e-3, n_frames=1, flops_per_frame=10 * bench.PEAK_BF16 * 1e-3,
+        peak=bench.PEAK_BF16)
+    assert dt is None and rate is None
+    assert frac is not None and frac > 1.0
+    # a plausible measurement passes through untouched with its fraction
+    dt, rate, frac = bench.roofline_guard(
+        "ok", lambda: 1e-3, n_frames=1, flops_per_frame=0.5 * bench.PEAK_BF16 * 1e-3,
+        peak=bench.PEAK_BF16)
+    assert dt == 1e-3 and rate == 1000.0 and abs(frac - 0.5) < 1e-9
+    # no cost model -> no guard, measurement passes with frac None
+    dt, rate, frac = bench.roofline_guard("nc", lambda: 1e-3, 1, None, bench.PEAK_BF16)
+    assert dt == 1e-3 and frac is None
+
+
 def test_step_timer():
     st = StepTimer(window=3)
     for _ in range(5):

@@ -46,10 +46,10 @@ def _dual_frame_fn(predictor):
 
         cfg, q, dtype = predictor.config, predictor.q, predictor.compute_dtype
 
-        def fn(frames, base, output_size):
+        def fn(frames, base, output_size, use_pallas=None):
             return fused_predict_dual(
                 cfg, q.cfg, q.params, q.batch_stats, frames, base, output_size,
-                compute_dtype=dtype,
+                compute_dtype=dtype, use_pallas=use_pallas,
                 net_fn=lambda x: unet_apply_int8(q, x, compute_dtype=dtype),
             )
 
@@ -58,10 +58,10 @@ def _dual_frame_fn(predictor):
         cfg, ucfg = predictor.config, predictor.unet_cfg
         params, stats, dtype = predictor.params, predictor.batch_stats, predictor.compute_dtype
 
-        def fn(frames, base, output_size):
+        def fn(frames, base, output_size, use_pallas=None):
             return fused_predict_dual(
                 cfg, ucfg, params, stats, frames, base, output_size,
-                compute_dtype=dtype,
+                compute_dtype=dtype, use_pallas=use_pallas,
             )
 
         return fn, "bf16" if dtype == jnp.bfloat16 else str(np.dtype(dtype))
@@ -81,12 +81,16 @@ def export_predictor(
     batch size into one .gsx artifact. Returns path."""
     fn, kind = _dual_frame_fn(predictor)
     h, w = frame_size
+    # the Pallas front-end only lowers through Mosaic: keep it only when
+    # EVERY target platform is tpu (platforms=None defers to the runtime
+    # auto-gate, which keys on the actual default backend)
+    use_pallas = None if platforms is None else all(p == "tpu" for p in platforms)
 
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         for n in batch_sizes:
             frames = jax.ShapeDtypeStruct((n, 6, h, w), jnp.float32)
             base = jax.ShapeDtypeStruct((6, h, w), jnp.float32)
-            jitted = jax.jit(lambda fr, b: fn(fr, b, tuple(output_size)))
+            jitted = jax.jit(lambda fr, b: fn(fr, b, tuple(output_size), use_pallas))
             if platforms is not None:
                 exp = jax.export.export(jitted, platforms=tuple(platforms))(frames, base)
             else:
@@ -111,35 +115,88 @@ def export_predictor(
 
 class ExportedPredictor:
     """Serve a .gsx artifact: no model code, no tracing — deserialize and
-    call. Batches route to the exported graph of matching size; smaller
-    batches pad up to the nearest exported size and slice the result."""
+    call. A batch of N routes through the cheapest COMPOSITION of the
+    exported graph sizes (dispatch_plan): exact fit runs one graph;
+    otherwise the batch is chunked into exported sizes, padding only where
+    that beats further chunking under the cost model rows + overhead per
+    call. Round-3 behavior — pad any N up to the nearest exported size, so
+    batch 2 on a (1, 64) artifact ran the 64-graph at 32x the FLOPs — is
+    gone; that same call now executes two b1 graphs."""
 
-    def __init__(self, graphs, meta):
+    def __init__(self, graphs, meta, *, call_overhead_rows: float = 2.0):
         self._graphs = graphs  # {batch_size: jax.export.Exported}
         self.meta = meta
         self.batch_sizes = sorted(graphs)
+        # latency model for planning: one call of the b-graph costs
+        # ~(b + call_overhead_rows) row-equivalents. The overhead default
+        # comes from measurement: the batch-1 graph runs ~1.25 ms vs
+        # ~0.68 ms/row inside the batch-64 graph, i.e. a call is worth
+        # ~2 rows of padding (docs/PERFORMANCE.md batch-1 line).
+        self.call_overhead_rows = float(call_overhead_rows)
+        self._plan_cache = {}
 
     @classmethod
-    def load(cls, path: str) -> "ExportedPredictor":
+    def load(cls, path: str, **kw) -> "ExportedPredictor":
         graphs = {}
         with zipfile.ZipFile(path) as zf:
             meta = json.loads(zf.read("meta.json").decode())
             for n in meta["batch_sizes"]:
                 graphs[int(n)] = jax.export.deserialize(zf.read(f"graph_b{n}.bin"))
-        return cls(graphs, meta)
+        return cls(graphs, meta, **kw)
+
+    def dispatch_plan(self, n: int):
+        """[(graph_batch, real_rows), ...] covering n rows, minimizing
+        total modeled cost (sum of graph_batch + overhead per call), then
+        call count. Exact dynamic program over the remainder; e.g. with
+        exported sizes (1, 64): n=2 -> [(1,1),(1,1)] (two b1 graphs),
+        n=63 -> [(64,63)] (one padded b64 — 63 separate b1 calls would
+        cost ~3x under the overhead model), n=70 -> [(64,64),(1,1)x6]."""
+        if n in self._plan_cache:
+            return self._plan_cache[n]
+        if n <= 0:
+            raise ValueError(f"batch must be positive, got {n}")
+        sizes = self.batch_sizes
+        over = self.call_overhead_rows
+        # f[r] = (cost, calls, chosen_graph) for serving r remaining rows
+        f = [None] * (n + 1)
+        f[0] = (0.0, 0, None)
+        for r in range(1, n + 1):
+            best = None
+            for b in sizes:
+                if b >= r:
+                    cand = (b + over, 1, b)
+                else:
+                    rows, calls, _ = f[r - b]
+                    cand = (rows + b + over, calls + 1, b)
+                if best is None or (cand[0], cand[1]) < (best[0], best[1]):
+                    best = cand
+            f[r] = best
+        plan = []
+        r = n
+        while r > 0:
+            b = f[r][2]
+            take = min(b, r)
+            plan.append((b, take))
+            r -= take
+        # largest graphs first (only presentation/row-assignment order —
+        # the multiset of calls is what the DP chose)
+        plan.sort(key=lambda bt: -bt[0])
+        self._plan_cache[n] = plan
+        return plan
 
     def __call__(self, frames, base_frame) -> jnp.ndarray:
         frames = jnp.asarray(frames, jnp.float32)
         base = jnp.asarray(base_frame, jnp.float32)
         n = frames.shape[0]
-        fit = next((b for b in self.batch_sizes if b >= n), None)
-        if fit is None:
-            raise ValueError(
-                f"batch {n} exceeds the largest exported size "
-                f"{self.batch_sizes[-1]}; export with a larger batch_sizes"
-            )
-        if fit != n:
-            pad = jnp.broadcast_to(frames[:1], (fit - n, *frames.shape[1:]))
-            frames = jnp.concatenate([frames, pad], axis=0)
-        out = self._graphs[fit].call(frames, base)
-        return out[:n]
+        if n in self._graphs:  # exact fit: one call, no planning
+            return self._graphs[n].call(frames, base)
+        outs = []
+        row = 0
+        for graph_b, take in self.dispatch_plan(n):
+            chunk = frames[row:row + take]
+            if take < graph_b:
+                pad = jnp.broadcast_to(chunk[:1], (graph_b - take, *chunk.shape[1:]))
+                chunk = jnp.concatenate([chunk, pad], axis=0)
+            outs.append(self._graphs[graph_b].call(chunk, base)[:take])
+            row += take
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

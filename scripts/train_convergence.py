@@ -39,6 +39,47 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def make_corpus_realstl(
+    n_duals: int,
+    seed: int,
+    mesh_dir: str,
+    image_size=(160, 213),
+    per_object: int = 100,
+):
+    """Real-geometry corpus: depth maps rendered by the package's own
+    meshgen from the reference's shipped product STLs (read in place, not
+    copied), tactile synthesized from those depths
+    (data/synthetic.py make_mesh_contact_object). Same objects across
+    train/val/test with disjoint pose draws (the reference's own splits
+    are random within each object's .pt, ref split_data.py:32-34), so val
+    measures generalization to unseen grasps of known objects — the
+    product's actual regime. Mesh unit scale is auto-detected: the
+    patterns ship in meters (bbox < 1), the pegs in mm."""
+    import glob as _glob
+
+    from gelslim_depth_tpu.data.synthetic import make_mesh_contact_object
+    from gelslim_depth_tpu.meshgen import load_stl
+
+    stems = sorted(os.path.basename(p)[:-4] for p in _glob.glob(os.path.join(mesh_dir, "*.stl")))
+    assert stems, f"no STLs under {mesh_dir}"
+    rng = np.random.RandomState(seed)
+    objs = []
+    made = 0
+    i = 0
+    while made < n_duals:
+        stem = stems[i % len(stems)]
+        path = os.path.join(mesh_dir, f"{stem}.stl")
+        tri = load_stl(path)
+        extent = float((tri.reshape(-1, 3).max(0) - tri.reshape(-1, 3).min(0)).max())
+        scale = 1000.0 if extent < 1.0 else 1.0
+        n = min(per_object, n_duals - made)
+        objs.append(make_mesh_contact_object(rng, path, n=n, pc_scale=scale,
+                                             image_size=image_size))
+        made += n
+        i += 1
+    return objs
+
+
 def make_corpus(n_duals: int, seed: int, image_size=(160, 213), per_object: int = 100):
     """Objects of `per_object` dual frames each — distinct bases/contact
     statistics per object, like distinct real objects.
@@ -79,10 +120,17 @@ def main():
     ap.add_argument("--train_duals", type=int, default=2500,
                     help="dual frames; x2 finger samples after the split")
     ap.add_argument("--eval_duals", type=int, default=300)
-    ap.add_argument("--name", default="unet_synth_convergence")
+    ap.add_argument("--name", default=None,
+                    help="artifact name; default unet_<corpus>_convergence")
     ap.add_argument("--out", default="artifacts/convergence")
     ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--corpus", choices=("synth", "realstl"), default="synth",
+                    help="synth: Gaussian-indentation fixtures; realstl: depth "
+                         "rendered by our meshgen from the reference's real STLs")
+    ap.add_argument("--mesh_dir", default="/root/reference/mesh")
     args = ap.parse_args()
+    if args.name is None:
+        args.name = f"unet_{args.corpus}_convergence"
 
     import jax
     import jax.numpy as jnp
@@ -115,14 +163,19 @@ def main():
         norm_scale=0.9,
         downsample_factor=1.0,
     )
-    print("baking corpus...", flush=True)
-    train = bake_dataset(preloaded=make_corpus(args.train_duals, seed=100), **bake_kw)
+    if args.corpus == "realstl":
+        def corpus(n_duals, seed):
+            return make_corpus_realstl(n_duals, seed, args.mesh_dir)
+    else:
+        corpus = make_corpus
+    print(f"baking corpus ({args.corpus})...", flush=True)
+    train = bake_dataset(preloaded=corpus(args.train_duals, seed=100), **bake_kw)
     frozen = dict(
         depth_normalization_parameters=train.depth_normalization_parameters,
         image_normalization_parameters=train.image_normalization_parameters,
     )
-    val = bake_dataset(preloaded=make_corpus(args.eval_duals, seed=200), **bake_kw, **frozen)
-    test = bake_dataset(preloaded=make_corpus(args.eval_duals, seed=300), **bake_kw, **frozen)
+    val = bake_dataset(preloaded=corpus(args.eval_duals, seed=200), **bake_kw, **frozen)
+    test = bake_dataset(preloaded=corpus(args.eval_duals, seed=300), **bake_kw, **frozen)
     print(f"train {len(train)} / val {len(val)} / test {len(test)} finger samples "
           f"@ {train.input_tactile_image_size}", flush=True)
 
@@ -159,7 +212,8 @@ def main():
         "epochs": len(val_losses),
         "train_samples": int(len(train)),
         "batch_size": args.batch_size,
-        "recipe": "adam(1e-3,wd 1e-6), EMA 0.995, bf16, diff images, 160x213, flagship dims",
+        "recipe": "adam(1e-3,wd 1e-6), EMA 0.995, bf16, diff images, 160x213, "
+                  f"flagship dims, corpus={args.corpus}",
         "train_loss_first": history["train_loss"][0],
         "train_loss_final": history["train_loss"][-1],
         "val_loss_init": val_loss_init,

@@ -237,3 +237,61 @@ class TestGeneralDatasetFacade:
         assert sample["depth_image"].shape == (1, 8, 11)
         assert ds.input_tactile_image_size == (8, 11)
         assert len(ds.depth_normalization_parameters) == 4
+
+
+class TestMeshContactObject:
+    """make_mesh_contact_object: reference-schema corpus whose depth maps
+    come from the package's own meshgen on a REAL reference STL."""
+
+    def test_schema_and_penetration_bound(self):
+        from gelslim_depth_tpu.data.synthetic import make_mesh_contact_object
+
+        rng = np.random.RandomState(3)
+        obj = make_mesh_contact_object(
+            rng, "/root/reference/mesh/hex_key.stl", n=3,
+            n_points=20_000, image_size=(40, 53),
+            penetration_mm=(0.4, 1.2),
+        )
+        assert obj["tactile_image"].shape == (3, 6, 40, 53)
+        assert obj["base_tactile_image"].shape == (3, 6, 40, 53)
+        assert obj["depth_image"].shape == (3, 2, 40, 53)
+        assert obj["in_hand_pose"].shape == (3, 3)
+        assert obj["grasp_widths"].shape == (3,)
+        d = obj["depth_image"]
+        assert float(d.max()) == 0.0
+        # width = extent - 2*pen pins max penetration within the sampled
+        # range (splat rounding can add <= one pixel's slack)
+        per_sample_min = d.reshape(3, -1).min(axis=1)
+        assert (per_sample_min < -0.2).all(), per_sample_min
+        assert (per_sample_min > -1.35).all(), per_sample_min
+        # tactile responds where (and only near) contact exists
+        t, b = obj["tactile_image"], obj["base_tactile_image"]
+        resp = np.abs(t - b)
+        contact = (d < -1e-3)
+        r_chan = resp[:, 0][contact[:, 0]]
+        assert float(r_chan.mean()) > 3.0  # 35/mm response, >=0.4 mm pen
+        assert (t >= 0).all() and (t <= 255).all()
+
+    def test_bakes_into_training_dataset(self):
+        from gelslim_depth_tpu.data.synthetic import make_mesh_contact_object
+
+        rng = np.random.RandomState(4)
+        objs = [
+            make_mesh_contact_object(
+                rng, f"/root/reference/mesh/{stem}.stl", n=2,
+                n_points=10_000, image_size=(32, 43),
+            )
+            for stem in ("pattern_15_circle", "marble")
+        ]
+        ds = bake_dataset(
+            preloaded=objs,
+            use_difference_image=True,
+            image_normalization_method="0_255_to_0_1",
+            depth_normalization_method="min_max_to_0_-1",
+            norm_scale=0.9,
+            downsample_factor=1.0,
+        )
+        assert len(ds) == 8  # 2 objects x 2 duals x 2 fingers
+        assert ds.tactile_image.shape == (8, 3, 32, 43)
+        assert float(jnp.max(ds.depth_image)) <= 1e-6
+        assert float(jnp.min(ds.depth_image)) >= -0.91  # normalized to [-0.9, 0]

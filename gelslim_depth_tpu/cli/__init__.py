@@ -13,8 +13,10 @@ Plus two TPU-native additions with no reference counterpart:
     python -m gelslim_depth_tpu export <weights_name> [flags...]    # AOT .gsx artifact
 
 The positional `device`/`gpu` argument is accepted for drop-in
-compatibility with the reference commands but ignored — device selection
-on TPU is the runtime's job, not a CLI string (ref train_unet.py:58,194).
+compatibility with the reference commands (ref train_unet.py:58,194).
+'cpu' and 'tpu' pin the JAX platform (utils.pin_platform — the env var
+alone is not honored when a TPU platform plugin is installed); CUDA
+ordinals have no meaning here and are ignored.
 """
 
 import sys
@@ -26,9 +28,10 @@ def main(argv=None):
         print(__doc__)
         return 0
     cmd, rest = argv[0], argv[1:]
-    from gelslim_depth_tpu.utils import enable_compilation_cache
+    from gelslim_depth_tpu.utils import enable_compilation_cache, pin_platform
 
     enable_compilation_cache()
+    pin_platform()  # honor JAX_PLATFORMS even with the axon plugin installed
     if cmd == "train":
         from gelslim_depth_tpu.cli.train_cmd import run
     elif cmd == "test":

@@ -35,6 +35,9 @@ def parse_args(argv):
                    help="Number of dual frames for calibration")
     p.add_argument("--percentile", type=float, default=100.0,
                    help="Activation-scale percentile (<100 clips outliers)")
+    p.add_argument("--int8_upconvs", action="store_true",
+                   help="Also run the transposed convs in int8 (row-split "
+                        "matmul formulation); validate the reported delta")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     if args.torch_pth and not args.config_module:
@@ -81,6 +84,9 @@ def _load_calibration_frames(dataset_dir: str, n: int, seed: int, *, need_base: 
 
 def run(argv):
     args = parse_args(argv)
+    from gelslim_depth_tpu.utils import pin_platform
+
+    pin_platform(args.gpu)  # 'cpu' keeps the run off the accelerator
     import jax.numpy as jnp
 
     from gelslim_depth_tpu.config import GelslimConfig
@@ -109,7 +115,9 @@ def run(argv):
     print(f"calibrating on {frames.shape[0]} frames from {calib_dir}"
           + ("" if base is not None else " (no base frame found)"))
 
-    qpred = pred.quantize(frames, base, percentile=args.percentile)
+    qpred = pred.quantize(
+        frames, base, percentile=args.percentile, quantize_upconvs=args.int8_upconvs
+    )
     path = qpred.save(args.weights_dir, name=args.weights_name)
     print(f"wrote {path}")
     print(f"calibration delta vs float graph: {qpred.delta_mm:.5f} mm RMSE "

@@ -36,11 +36,15 @@ def split_object(data: dict, rng: np.random.RandomState):
 
 def run(argv):
     p = argparse.ArgumentParser(prog="gelslim-depth-tpu split-data")
-    p.add_argument("device", nargs="?", default="cpu", help="ignored on TPU")
+    p.add_argument("device", nargs="?", default="cpu",
+                   help="'cpu' (default)/'tpu' pin the platform")
     p.add_argument("--data_path", default=None)
     p.add_argument("--keep_originals", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    from gelslim_depth_tpu.utils import pin_platform
+
+    pin_platform(args.device)  # 'cpu' (the default) stays off the accelerator
 
     from gelslim_depth_tpu.data.pt_io import load_pt, save_pt
 

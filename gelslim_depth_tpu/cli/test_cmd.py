@@ -22,7 +22,8 @@ import numpy as np
 def run(argv):
     p = argparse.ArgumentParser(prog="gelslim-depth-tpu test")
     p.add_argument("weights_name")
-    p.add_argument("gpu", nargs="?", default="0", help="ignored on TPU")
+    p.add_argument("gpu", nargs="?", default="0",
+                   help="'cpu'/'tpu' pin the platform; CUDA ordinals ignored")
     p.add_argument("sub_dir")
     p.add_argument("objects", nargs="*")
     p.add_argument("--data_path", default=None)
@@ -40,6 +41,9 @@ def run(argv):
                         "(<weights_name>_int8.npz from the quantize command) "
                         "instead of the float checkpoint")
     args = p.parse_args(argv)
+    from gelslim_depth_tpu.utils import pin_platform
+
+    pin_platform(args.gpu)  # 'cpu' keeps the run off the accelerator
     if args.int8 and (args.config_module or args.torch_pth):
         p.error("--int8 evaluates a quantized artifact; it cannot be "
                 "combined with --config_module/--torch_pth (quantize the "

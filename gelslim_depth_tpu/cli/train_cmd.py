@@ -23,7 +23,8 @@ def parse_args(argv):
                                 description="Train a tactile depth estimation U-Net on TPU.")
     p.add_argument("weights_name", type=str, help="Name for the weights")
     p.add_argument("gpu", type=str, nargs="?", default="0",
-                   help="Accepted for reference compatibility; ignored on TPU")
+                   help="Reference-compatible device string: 'cpu'/'tpu' pin "
+                        "the platform; CUDA ordinals are ignored on TPU")
     p.add_argument("--exclude_objects", nargs="+", help="List of objects to exclude")
     p.add_argument("--activation_func", type=str, default="relu", choices=["relu", "tanh", "mish"])
     p.add_argument("--train_indefinitely", action="store_true")
@@ -119,6 +120,9 @@ def assemble_object_lists(dataset_path: str, exclude_objects=None, limit=None):
 
 def run(argv):
     args = parse_args(argv)
+    from gelslim_depth_tpu.utils import pin_platform
+
+    pin_platform(args.gpu)  # 'cpu' keeps the run off the accelerator
     # multi-host init must precede ANY backend-touching JAX call
     # (parallel/multihost.py contract; SURVEY.md section 5.8)
     from gelslim_depth_tpu.parallel import multihost

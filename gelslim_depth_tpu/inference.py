@@ -205,19 +205,25 @@ class Predictor:
             self.params, self.batch_stats, jnp.asarray(frames), base
         )
 
-    def quantize(self, calib_frames, base_frame=None, *, percentile: float = 100.0) -> "QuantizedPredictor":
+    def quantize(
+        self, calib_frames, base_frame=None, *,
+        percentile: float = 100.0, quantize_upconvs: bool = False,
+    ) -> "QuantizedPredictor":
         """Post-training int8 quantization calibrated on representative
         raw dual frames (N, 6, H, W). Returns a drop-in predictor running
         the s8xs8->s32 MXU path (~1.5x the bf16 U-Net on v5e, see
         models/quantize.py). percentile < 100 clips activation-scale
-        outliers. Check .delta_mm — the output deviation vs the float
-        graph on the calibration batch — before deploying."""
+        outliers. quantize_upconvs also runs the transposed convs in int8
+        via the row-split matmul formulation. Check .delta_mm — the output
+        deviation vs the float graph on the calibration batch — before
+        deploying."""
         from gelslim_depth_tpu.models.quantize import quantize_unet
 
         cfg = self.config
         x = _calibration_inputs(cfg, calib_frames, base_frame)
         q = quantize_unet(
-            self.unet_cfg, self.params, self.batch_stats, x, percentile=percentile
+            self.unet_cfg, self.params, self.batch_stats, x,
+            percentile=percentile, quantize_upconvs=quantize_upconvs,
         )
         return QuantizedPredictor(cfg, q, compute_dtype=self.compute_dtype)
 
@@ -300,8 +306,10 @@ class QuantizedPredictor:
 
         q = self.q
         x = _calibration_inputs(self.config, calib_frames, base_frame)
+        has_upconvs = any("upconv" in v for v in q.w8.values())
         scales = calibrate_act_scales(
-            q.cfg, q.params, q.batch_stats, x, percentile=percentile
+            q.cfg, q.params, q.batch_stats, x, percentile=percentile,
+            quantize_upconvs=has_upconvs,
         )
         q = q._replace(act_scale={k: jnp.float32(v) for k, v in scales.items()})
         y_q = unet_apply_int8(q, x)

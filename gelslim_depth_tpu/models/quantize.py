@@ -79,6 +79,68 @@ def _quantized_sites(cfg: UNetConfig):
     return sites
 
 
+def _upconv_sites(cfg: UNetConfig):
+    """Blocks whose transposed conv can run on the int8 row-split path
+    (requires kernel == stride, the reference's k=2/s=2 case)."""
+    if cfg.kernel_size - 1 != cfg.upconv_stride:
+        return []
+    return [f"up_{j}" for j in range(cfg.num_levels - 1)]
+
+
+def pack_upconv_rowsplit(w: jnp.ndarray) -> jnp.ndarray:
+    """upconv_w (k, k, cout, cin) stored layout (models/unet.py:139-143,
+    consumed by lax.conv_transpose(transpose_kernel=True)) -> (k, cin,
+    k*cout) matmul pack M with M[di][c, dj*cout + o] == w[di, dj, o, c],
+    so that for the k == stride upconv
+
+        out[:, k*i+di, k*j+dj, o] = (x @ M[di])[:, i, j, dj*cout+o]
+
+    i.e. the transposed conv becomes k dense matmuls whose outputs
+    interleave as contiguous output ROWS — reshape + stack only, no
+    small-dim transpose (the round-3 depth-to-space attempt died on a
+    layout materialization, docs/PERFORMANCE.md negative results).
+    Verified bit-exact vs lax.conv_transpose in
+    tests/test_quantize.py::test_rowsplit_pack_exact."""
+    k, _, cout, cin = w.shape
+    return jnp.stack(
+        [jnp.transpose(w[di], (2, 0, 1)).reshape(cin, k * cout) for di in range(k)]
+    )
+
+
+def quantize_upconv_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(k, k, cout, cin) f32 -> (int8 row-split pack (k, cin, k*cout),
+    per-COLUMN scale (k*cout,)). The scale is per output channel o
+    replicated across the dj blocks (column index is dj*cout + o)."""
+    s = jnp.max(jnp.abs(w), axis=(0, 1, 3)) / 127.0
+    s = jnp.where(s == 0, jnp.float32(1.0), s)
+    s_col = jnp.tile(s, w.shape[0]).astype(jnp.float32)
+    m = pack_upconv_rowsplit(w)
+    q = jnp.clip(jnp.round(m / s_col), -127, 127).astype(jnp.int8)
+    return q, s_col
+
+
+def _upconv_int8(h, in_scale, q_pack, s_col, bias):
+    """Row-split int8 k==stride transposed conv: static-scale quantize ->
+    k s8xs8->s32 matmuls -> dequant+bias (one fused FMA chain) -> row
+    interleave via stack+reshape. Output == conv_transpose + bias up to
+    quantization error."""
+    n, hh, ww, cin = h.shape
+    k = q_pack.shape[0]
+    cout = q_pack.shape[2] // k
+    in_s = jnp.asarray(in_scale, jnp.float32)
+    qx = jnp.clip(jnp.round(h.astype(jnp.float32) / in_s), -127, 127).astype(jnp.int8)
+    b_col = jnp.tile(bias.astype(jnp.float32), k)
+    parts = []
+    for di in range(k):
+        y = lax.dot_general(
+            qx, q_pack[di], (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (in_s * s_col) + b_col
+        parts.append(y.reshape(n, hh, k * ww, cout))
+    return jnp.stack(parts, axis=2).reshape(n, k * hh, k * ww, cout)
+
+
 def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(kh, kw, cin, cout) f32 -> (int8, per-cout scale)."""
     s = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
@@ -102,23 +164,27 @@ def _conv_int8(x, in_scale, w8, w_scale, pad):
     return y.astype(jnp.float32) * (in_s * w_scale)
 
 
-def _forward_eval(cfg: UNetConfig, params, batch_stats, x, dc_fn, compute_dtype):
+def _forward_eval(cfg: UNetConfig, params, batch_stats, x, dc_fn, compute_dtype, up_fn=None):
     """The eval-mode network skeleton shared by calibration and the int8
-    apply; dc_fn(name, h) -> block output. Mirrors unet_apply exactly
+    apply; dc_fn(name, h) -> block output. up_fn(name, h, skip) -> up-block
+    output overrides the float _up_block (int8 row-split upconvs,
+    calibration recording). Mirrors unet_apply exactly
     (models/unet.py:265-330) for the non-DoubleConv pieces."""
     precision = lax.Precision.HIGHEST if compute_dtype == jnp.float32 else lax.Precision.DEFAULT
+    if up_fn is None:
+        def up_fn(name, h, skip):
+            return _up_block(
+                h, skip, params[name], batch_stats[name], cfg,
+                lambda y, p, s, _n=name: dc_fn(_n, y),
+                compute_dtype, precision,
+            )
     skips = [dc_fn("inc", x)]
     for i in range(cfg.num_levels - 1):
         h = _maxpool(skips[-1], cfg.maxpool_size)
         skips.append(dc_fn(f"down_{i}", h))
     h = skips[-1]
     for j in range(cfg.num_levels - 1):
-        name = f"up_{j}"
-        h = _up_block(
-            h, skips[-2 - j], params[name], batch_stats[name], cfg,
-            lambda y, p, s, _n=name: dc_fn(_n, y),
-            compute_dtype, precision,
-        )
+        h = up_fn(f"up_{j}", h, skips[-2 - j])
     out = _conv(h, params["outc"]["w"], [(0, 0), (0, 0)], compute_dtype, precision)
     out = out + params["outc"]["b"].astype(out.dtype)
     return out.astype(jnp.float32)
@@ -151,13 +217,16 @@ def calibrate_act_scales(
     *,
     channels_last: bool = False,
     percentile: float = 100.0,
+    quantize_upconvs: bool = False,
 ) -> Dict[str, float]:
     """Static per-tensor activation scales from an f32 forward over a
     representative batch: scale = stat(|x|) / 127 at each quantized site,
     where stat is max (percentile=100, default) or the given percentile of
     |x| — clipping rare outliers spends the 8-bit range on the bulk of the
     distribution, which can lower quantization error on real sensor data
-    at the cost of saturating the outliers. Validate via float_delta."""
+    at the cost of saturating the outliers. Validate via float_delta.
+    quantize_upconvs additionally records scales at each transposed-conv
+    input ('up_j/upconv' sites) for the int8 row-split upconv path."""
     if not channels_last:
         calib_x = jnp.transpose(jnp.asarray(calib_x), (0, 2, 3, 1))
     if percentile >= 100.0:
@@ -171,11 +240,25 @@ def calibrate_act_scales(
         dc = lambda name, h: _float_dc(
             cfg, params, batch_stats, name, h, jnp.float32, record, stat
         )
-        _forward_eval(cfg, params, batch_stats, x, dc, jnp.float32)
+        up_fn = None
+        if quantize_upconvs:
+            precision = lax.Precision.HIGHEST
+
+            def up_fn(name, h, skip):
+                record[f"{name}/upconv"] = stat(jnp.abs(h)).astype(jnp.float32)
+                return _up_block(
+                    h, skip, params[name], batch_stats[name], cfg,
+                    lambda y, p, s, _n=name: dc(_n, y),
+                    jnp.float32, precision,
+                )
+
+        _forward_eval(cfg, params, batch_stats, x, dc, jnp.float32, up_fn)
         return record
 
     record = jax.device_get(run(calib_x))
     wanted = {f"{b}/{c}" for b, c in _quantized_sites(cfg)}
+    if quantize_upconvs:
+        wanted |= {f"{b}/upconv" for b in _upconv_sites(cfg)}
     return {
         k: float(v) / 127.0 if float(v) > 0 else 1.0
         for k, v in record.items()
@@ -191,15 +274,20 @@ def quantize_unet(
     *,
     channels_last: bool = False,
     percentile: float = 100.0,
+    quantize_upconvs: bool = False,
 ) -> QuantizedUNet:
     """Calibrate + quantize; reports the output RMSE vs the f32 graph on
     the calibration batch in .float_delta (same units as the network
     output, i.e. normalized depth — multiply by (d_max-d_min)/norm_scale
     for mm). percentile < 100 clips activation-scale outliers
-    (calibrate_act_scales)."""
+    (calibrate_act_scales). quantize_upconvs also runs the transposed
+    convs on the int8 MXU via the row-split formulation (_upconv_int8) —
+    validate float_delta per checkpoint as with everything else."""
+    quantize_upconvs = quantize_upconvs and bool(_upconv_sites(cfg))
     act_scale = calibrate_act_scales(
         cfg, params, batch_stats, calib_x,
         channels_last=channels_last, percentile=percentile,
+        quantize_upconvs=quantize_upconvs,
     )
 
     @jax.jit
@@ -210,6 +298,11 @@ def quantize_unet(
             q, s = quantize_weight(p[block][f"{conv}_w"])
             w8.setdefault(block, {})[conv] = q
             ws.setdefault(block, {})[conv] = s
+        if quantize_upconvs:
+            for block in _upconv_sites(cfg):
+                q, s = quantize_upconv_weight(p[block]["upconv_w"])
+                w8.setdefault(block, {})["upconv"] = q
+                ws.setdefault(block, {})["upconv"] = s
         return w8, ws
 
     w8, w_scale = qweights(params)
@@ -262,7 +355,22 @@ def _apply_int8(q: QuantizedUNet, x, *, channels_last, compute_dtype):
     def dc(name, h):
         return one_conv(name, "conv2", one_conv(name, "conv1", h))
 
-    out = _forward_eval(cfg, q.params, q.batch_stats, x, dc, compute_dtype)
+    # int8 row-split upconvs when the artifact carries them (presence of
+    # the 'upconv' key is part of the treedef, so this branch is static)
+    up_fn = None
+    if any("upconv" in q.w8.get(b, {}) for b in _upconv_sites(cfg)):
+        def up_fn(name, h, skip):
+            y = _upconv_int8(
+                h, q.act_scale[f"{name}/upconv"],
+                q.w8[name]["upconv"], q.w_scale[name]["upconv"],
+                q.params[name]["upconv_b"],
+            ).astype(compute_dtype)
+            dy = skip.shape[1] - y.shape[1]
+            dx = skip.shape[2] - y.shape[2]
+            y = jnp.pad(y, ((0, 0), (dy // 2, dy - dy // 2), (dx // 2, dx - dx // 2), (0, 0)))
+            return dc(name, jnp.concatenate([skip.astype(compute_dtype), y], axis=-1))
+
+    out = _forward_eval(cfg, q.params, q.batch_stats, x, dc, compute_dtype, up_fn)
     if not channels_last:
         out = jnp.transpose(out, (0, 3, 1, 2))
     return out

@@ -208,7 +208,7 @@ def load_quantized(ckpt_dir: str, name: str = None):
     """Load a save_quantized artifact -> (config, QuantizedUNet)."""
     import json as _json
 
-    from gelslim_depth_tpu.models.quantize import QuantizedUNet, _quantized_sites
+    from gelslim_depth_tpu.models.quantize import QuantizedUNet
     from gelslim_depth_tpu.models.unet import init_unet
 
     if name is None:
@@ -232,9 +232,13 @@ def load_quantized(ckpt_dir: str, name: str = None):
     batch_stats = _unflatten_like(t_stats, flat, "batch_stats/")
     w8: Dict[str, Any] = {}
     w_scale: Dict[str, Any] = {}
-    for block, conv in _quantized_sites(unet_cfg):
-        w8.setdefault(block, {})[conv] = jnp.asarray(flat[f"w8/{block}/{conv}"])
-        w_scale.setdefault(block, {})[conv] = jnp.asarray(flat[f"w_scale/{block}/{conv}"])
+    # iterate the sites the ARTIFACT carries (not _quantized_sites) so
+    # artifacts with and without int8 upconvs both load
+    for key in flat:
+        if key.startswith("w8/"):
+            block, conv = key[len("w8/"):].split("/")
+            w8.setdefault(block, {})[conv] = jnp.asarray(flat[key])
+            w_scale.setdefault(block, {})[conv] = jnp.asarray(flat[f"w_scale/{block}/{conv}"])
     act_scale = _json.loads(bytes(flat["act_scale_json"]).decode())
     return config, QuantizedUNet(
         unet_cfg, params, batch_stats, w8, w_scale,

@@ -23,3 +23,25 @@ def enable_compilation_cache(path: str | None = None) -> None:
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _enabled = True
+
+
+def pin_platform(device: str | None = None) -> None:
+    """Honor an explicit platform request BEFORE jax's backend init.
+
+    Two quirks make this necessary:
+    - The reference CLI takes a positional device string (ref
+      train_unet.py:58,194 reads sys.argv[2] as a CUDA ordinal); 'cpu'
+      there must actually keep the run off the accelerator.
+    - When a TPU platform plugin (axon) is installed, the JAX_PLATFORMS
+      env var alone is NOT honored — the plugin still initializes (and a
+      broken tunnel then hangs every CLI command, even ones the user
+      explicitly asked to run on cpu). Pinning through jax.config works.
+
+    Only 'cpu' and 'tpu' are pinned; any other value (CUDA ordinals etc.)
+    is the reference's GPU selection, which has no meaning here and keeps
+    the documented ignored-positional behavior."""
+    want = (device or os.environ.get("JAX_PLATFORMS") or "").strip().lower()
+    if want in ("cpu", "tpu"):
+        import jax
+
+        jax.config.update("jax_platforms", want)

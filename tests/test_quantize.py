@@ -420,3 +420,126 @@ def test_quantized_predictor_recalibrate_in_place(rng):
     y_f = np.asarray(pred.predict_dual_frames(frames[:2], base, (64, 86)))
     assert np.sqrt(np.mean((y_after - y_f) ** 2)) < 0.05
     assert np.isfinite(y_before).all() and np.isfinite(y_after).all()
+
+
+def test_rowsplit_pack_exact(rng):
+    """The row-split matmul formulation must equal the model's actual
+    conv_transpose call (transpose_kernel=True, stored (k,k,cout,cin)
+    layout, models/unet.py:261-272) to f32 rounding — the packing
+    contract behind _upconv_int8."""
+    from jax import lax
+
+    from gelslim_depth_tpu.models.quantize import pack_upconv_rowsplit
+
+    cin, cout = 16, 8
+    x = jnp.asarray(rng.randn(2, 5, 7, cin).astype(np.float32))
+    w = jnp.asarray((rng.randn(2, 2, cout, cin) * 0.1).astype(np.float32))
+    ref = lax.conv_transpose(
+        x, w, strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+        precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )
+    m = pack_upconv_rowsplit(w)
+    parts = [
+        jax.lax.dot_general(
+            x, m[di], (((3,), (0,)), ((), ())), precision=lax.Precision.HIGHEST
+        ).reshape(2, 5, 14, cout)
+        for di in range(2)
+    ]
+    got = jnp.stack(parts, axis=2).reshape(2, 10, 14, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_int8_upconv_weight_quantization(rng):
+    """quantize_upconv_weight: per-output-channel scales replicated per
+    dj block; dequantized pack within half a step of the exact pack."""
+    from gelslim_depth_tpu.models.quantize import (
+        pack_upconv_rowsplit,
+        quantize_upconv_weight,
+    )
+
+    w = jnp.asarray((rng.randn(2, 2, 8, 16) * 0.1).astype(np.float32))
+    q, s_col = quantize_upconv_weight(w)
+    assert q.dtype == jnp.int8 and q.shape == (2, 16, 16) and s_col.shape == (16,)
+    np.testing.assert_array_equal(np.asarray(s_col[:8]), np.asarray(s_col[8:]))
+    m = np.asarray(pack_upconv_rowsplit(w))
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s_col) - m)
+    assert err.max() <= np.asarray(s_col).max() / 2 + 1e-7
+
+
+def test_int8_upconvs_forward_close_to_float(tiny_net, rng):
+    """quantize_upconvs=True: every transposed conv runs int8 row-split;
+    output stays within the quantization budget of the float graph and
+    the artifact carries the extra sites."""
+    from gelslim_depth_tpu.models.quantize import _upconv_sites
+
+    cfg, params, stats = tiny_net
+    x = jnp.asarray(rng.uniform(0, 1, (4, 3, 32, 43)).astype(np.float32))
+    q = quantize_unet(cfg, params, stats, x, quantize_upconvs=True)
+    assert _upconv_sites(cfg) == ["up_0", "up_1"]
+    for b in _upconv_sites(cfg):
+        assert q.w8[b]["upconv"].dtype == jnp.int8
+        assert f"{b}/upconv" in q.act_scale
+    y_q = unet_apply_int8(q, x, compute_dtype=jnp.float32)
+    y_f, _ = unet_apply(cfg, params, stats, x, train=False)
+    spread = float(jnp.max(y_f) - jnp.min(y_f)) + 1e-6
+    rmse = float(jnp.sqrt(jnp.mean((y_q - y_f) ** 2)))
+    assert rmse < 0.05 * spread + 5e-3, rmse
+    assert abs(float(q.float_delta) - rmse) < 1e-4 + 0.5 * rmse
+    # the upconv path must actually differ from the float-upconv artifact
+    q_base = quantize_unet(cfg, params, stats, x)
+    assert "upconv" not in q_base.w8["up_0"]
+
+
+def test_int8_upconvs_kernel_stride_mismatch_disabled(rng):
+    """kernel_size=5 -> up_k=4 != stride 2: the row-split decomposition
+    does not apply, so quantize_upconvs must silently no-op."""
+    cfg = UNetConfig(layer_dimensions=(4, 8), kernel_size=5)
+    params, stats = init_unet(jax.random.PRNGKey(1), cfg)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 3, 24, 33)).astype(np.float32))
+    q = quantize_unet(cfg, params, stats, x, quantize_upconvs=True)
+    assert "upconv" not in q.w8["up_0"]
+    assert "up_0/upconv" not in q.act_scale
+    assert np.isfinite(np.asarray(unet_apply_int8(q, x))).all()
+
+
+def test_int8_upconvs_predictor_checkpoint_recalibrate(tmp_path, rng):
+    """End-to-end with int8 upconvs: Predictor.quantize passthrough,
+    mm accuracy, save/load bit-identity, and in-place recalibration
+    (which must re-derive the upconv scales too, without recompiling)."""
+    from gelslim_depth_tpu.inference import QuantizedPredictor
+
+    config = GelslimConfig(
+        weights_name="qup", CNN_dimensions=(4, 8),
+        input_tactile_image_size=(16, 21),
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        depth_normalization_parameters=(-1.9, 0.0), norm_scale=0.9,
+        use_difference_image=True,
+    )
+    params, stats = init_unet(jax.random.PRNGKey(8), config.unet_config())
+    pred = Predictor(config, params, stats, compute_dtype=jnp.float32)
+    frames = jnp.asarray(rng.uniform(0, 255, (4, 6, 32, 43)).astype(np.float32))
+    base = jnp.asarray(rng.uniform(0, 255, (6, 32, 43)).astype(np.float32))
+    qpred = pred.quantize(frames, base, quantize_upconvs=True)
+    assert "upconv" in qpred.q.w8["up_0"]
+    assert qpred.delta_mm < 0.05, qpred.delta_mm
+    y_q = np.asarray(qpred.predict_dual_frames(frames[:2], base, (32, 43)))
+    y_f = np.asarray(pred.predict_dual_frames(frames[:2], base, (32, 43)))
+    assert np.sqrt(np.mean((y_q - y_f) ** 2)) < 0.05
+
+    qpred.save(str(tmp_path))
+    loaded = QuantizedPredictor.from_checkpoint(str(tmp_path), compute_dtype=jnp.float32)
+    assert "upconv" in loaded.q.w8["up_0"]
+    np.testing.assert_array_equal(
+        y_q, np.asarray(loaded.predict_dual_frames(frames[:2], base, (32, 43)))
+    )
+
+    dual_jit = qpred._dual((32, 43))
+    n_compiled = dual_jit._cache_size()
+    frames2 = jnp.asarray(rng.uniform(0, 255, (4, 6, 32, 43)).astype(np.float32))
+    qpred.recalibrate(frames2, base)
+    assert "up_0/upconv" in qpred.q.act_scale
+    assert qpred._dual((32, 43)) is dual_jit
+    assert dual_jit._cache_size() == n_compiled
+    assert qpred.delta_mm < 0.05, qpred.delta_mm

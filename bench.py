@@ -238,8 +238,45 @@ def main():
     except Exception as e:
         log(f"int8 path failed: {type(e).__name__}: {e}")
 
-    promote = int8_fps > fps and int8_delta_mm < 0.005
-    head_fps, head_batch = (int8_fps, int8_batch) if promote else (fps, batch)
+    # --- int8 + row-split int8 upconvs (quantize --int8_upconvs) ---------
+    # The transposed convs are the largest bf16 remnant of the int8 graph
+    # (~6.9 ms at batch 64); the row-split formulation runs them as int8
+    # matmuls with contiguous row interleaving. Measured separately and
+    # promoted only if faster AND within the same delta budget.
+    int8u_fps, int8u_delta_mm, int8u_batch, int8u_frac = 0.0, float("inf"), None, None
+    qpred_u = None
+    try:
+        if qpred is not None:
+            pred = Predictor(config, params, stats, compute_dtype=jnp.bfloat16)
+            qpred_u = pred.quantize(calib, tac_base, quantize_upconvs=True)
+            y_qu = qpred_u.predict_dual_frames(held_out, tac_base, (320, 427))
+            int8u_delta_mm = float(jnp.sqrt(jnp.mean((y_qu - y_f) ** 2)))
+            log(f"int8+upconv delta vs f32 graph (held-out tactile frames): "
+                f"{int8u_delta_mm:.5f} mm RMSE")
+            for b in (64, 128):
+                x = jnp.asarray(rng.uniform(0, 255, (b, 6, 320, 427)).astype(np.float32))
+                dt, fps_u, frac_u = roofline_guard(
+                    f"int8+upconv batch {b}",
+                    lambda: device_time(graph_q, qpred_u.q, x, tac_base, repeats=3),
+                    b, flops_per_frame, PEAK_INT8)
+                if fps_u is None:
+                    continue
+                log(f"int8+upconv batch {b}: {dt * 1e3:.2f} ms/iter, {fps_u:.1f} "
+                    f"frames/s, int8-roofline {(frac_u or 0.0) * 100:.1f}%")
+                if fps_u > int8u_fps:
+                    int8u_fps, int8u_batch, int8u_frac = fps_u, b, frac_u
+    except Exception as e:
+        log(f"int8+upconv path failed: {type(e).__name__}: {e}")
+
+    best_int8_fps, best_int8_batch = int8_fps, int8_batch
+    best_int8_delta, best_int8_pred = int8_delta_mm, qpred
+    if int8u_fps > int8_fps and int8u_delta_mm < 0.005:
+        best_int8_fps, best_int8_batch = int8u_fps, int8u_batch
+        best_int8_delta, best_int8_pred = int8u_delta_mm, qpred_u
+        log("int8+upconv graph beats plain int8 — using it for the int8 headline")
+
+    promote = best_int8_fps > fps and best_int8_delta < 0.005
+    head_fps, head_batch = (best_int8_fps, best_int8_batch) if promote else (fps, batch)
     log(f"headline: {'int8' if promote else 'bf16'} batch {head_batch} -> "
         f"{head_fps:.1f} dual frames/s/chip")
 
@@ -259,13 +296,14 @@ def main():
             log(f"batch-1 bf16 latency: {dt1 * 1e3:.2f} ms "
                 f"({batch1_bf16_fps:.0f} dual frames/s, "
                 f"MFU {(batch1_bf16_frac or 0.0) * 100:.1f}%)")
-        if qpred is not None:
+        if best_int8_pred is not None:
             dt1q, batch1_int8_fps, batch1_int8_frac = roofline_guard(
                 "batch-1 int8",
-                lambda: device_time(graph_q, qpred.q, x1, tac_base, repeats=3),
+                lambda: device_time(graph_q, best_int8_pred.q, x1, tac_base, repeats=3),
                 1, flops_per_frame, PEAK_INT8)
             if batch1_int8_fps is not None:
-                log(f"batch-1 int8 latency: {dt1q * 1e3:.2f} ms "
+                log(f"batch-1 int8{'+upconv' if best_int8_pred is qpred_u else ''} "
+                    f"latency: {dt1q * 1e3:.2f} ms "
                     f"({batch1_int8_fps:.0f} dual frames/s, "
                     f"int8-roofline {(batch1_int8_frac or 0.0) * 100:.1f}%)")
     except Exception as e:
@@ -377,6 +415,10 @@ def main():
                 "bf16_tflops": round(fps * flops_per_frame / 1e12, 1) if flops_per_frame else None,
                 "int8_value": round(int8_fps, 1),
                 "int8_delta_mm": None if int8_delta_mm == float("inf") else round(int8_delta_mm, 6),
+                # row-split int8 transposed convs (quantize --int8_upconvs)
+                "int8_upconv_value": round(int8u_fps, 1),
+                "int8_upconv_delta_mm": None if int8u_delta_mm == float("inf") else round(int8u_delta_mm, 6),
+                "int8_headline_variant": "upconv" if best_int8_pred is qpred_u and qpred_u is not None else "plain",
                 # effective rate of the headline graph against the bf16 cost
                 # model (for int8 this is NOT an MFU — the int8 MXU peak is
                 # 2x — it is the equivalent-bf16 throughput)
@@ -386,6 +428,7 @@ def main():
                 # peak — every timed line is refused (nulled + 'suspect')
                 # if it implies a rate above 1.0 (see roofline_guard)
                 "int8_roofline_frac": None if int8_frac is None else round(int8_frac, 3),
+                "int8_upconv_roofline_frac": None if int8u_frac is None else round(int8u_frac, 3),
                 "batch1_fps": None if batch1_fps is None else round(batch1_fps, 1),
                 "batch1_bf16_fps": None if batch1_bf16_fps is None else round(batch1_bf16_fps, 1),
                 "batch1_bf16_roofline_frac": None if batch1_bf16_frac is None else round(batch1_bf16_frac, 3),

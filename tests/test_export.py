@@ -112,3 +112,23 @@ def test_export_roundtrip_int8(tmp_path, predictor):
     got = np.asarray(served(frames[:2], base))
     want = np.asarray(qpred.predict_dual_frames(frames[:2], base, (64, 86)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_roundtrip_int8_upconvs(tmp_path, predictor):
+    """An int8 artifact with row-split int8 upconvs (quantize
+    --int8_upconvs) exports and serves identically to the live graph —
+    the exported StableHLO carries the packed upconv weights too."""
+    rng = np.random.RandomState(13)
+    frames = jnp.asarray(rng.uniform(0, 255, (4, 6, 64, 86)).astype(np.float32))
+    base = jnp.asarray(rng.uniform(0, 255, (6, 64, 86)).astype(np.float32))
+    qpred = predictor.quantize(frames, base, quantize_upconvs=True)
+    assert "upconv" in qpred.q.w8["up_0"]
+
+    path = str(tmp_path / "model_int8u.gsx")
+    export_predictor(qpred, (64, 86), path=path, batch_sizes=(2,), frame_size=(64, 86))
+    served = ExportedPredictor.load(path)
+    assert served.meta["kind"] == "int8_ptq"
+
+    got = np.asarray(served(frames[:2], base))
+    want = np.asarray(qpred.predict_dual_frames(frames[:2], base, (64, 86)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -88,3 +88,46 @@ def test_step_timer_window_and_summary():
     assert s["n"] == 3  # rolling window keeps the last 3
     assert 0 < s["min_s"] <= s["p50_s"] <= s["max_s"]
     assert s["mean_s"] > 0
+
+
+def test_pin_platform_subprocess():
+    """pin_platform must translate an explicit 'cpu' request (positional
+    or JAX_PLATFORMS env) into jax.config BEFORE backend init — the env
+    var alone is ignored when a TPU platform plugin is installed, which
+    used to make CPU-requested CLI runs initialize (and hang on) the
+    accelerator tunnel. Run in a clean subprocess so this session's
+    platform pin does not mask the behavior."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import os
+os.environ.pop("JAX_PLATFORMS", None)
+from gelslim_depth_tpu.utils import pin_platform
+import jax
+
+pin_platform("cpu")
+assert jax.config.jax_platforms == "cpu", jax.config.jax_platforms
+
+# non-platform device strings (the reference's CUDA ordinals) are ignored
+pin_platform("1")
+assert jax.config.jax_platforms == "cpu"
+
+# env mirror: pin_platform() with no arg honors JAX_PLATFORMS
+jax.config.update("jax_platforms", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+pin_platform()
+assert jax.config.jax_platforms == "cpu"
+
+import jax.numpy as jnp
+assert jax.devices()[0].platform == "cpu"
+print("PIN_OK", float(jnp.ones(()).sum()))
+"""
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=240, env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "PIN_OK 1.0" in proc.stdout

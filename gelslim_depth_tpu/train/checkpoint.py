@@ -239,6 +239,18 @@ def load_quantized(ckpt_dir: str, name: str = None):
             block, conv = key[len("w8/"):].split("/")
             w8.setdefault(block, {})[conv] = jnp.asarray(flat[key])
             w_scale.setdefault(block, {})[conv] = jnp.asarray(flat[f"w_scale/{block}/{conv}"])
+    # ... but a valid artifact must carry AT LEAST the baseline conv sites:
+    # a truncated/partially-written .npz would otherwise load 'successfully'
+    # and only die later inside jit tracing with an opaque KeyError
+    from gelslim_depth_tpu.models.quantize import _quantized_sites
+
+    missing = [f"w8/{b}/{c}" for b, c in _quantized_sites(unet_cfg)
+               if c not in w8.get(b, {})]
+    if missing:
+        raise KeyError(
+            f"quantized artifact {name}_int8.npz is missing int8 weight "
+            f"arrays {missing} — truncated or corrupt file?"
+        )
     act_scale = _json.loads(bytes(flat["act_scale_json"]).decode())
     return config, QuantizedUNet(
         unet_cfg, params, batch_stats, w8, w_scale,

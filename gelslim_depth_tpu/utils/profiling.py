@@ -53,15 +53,23 @@ def device_time(
     collapsed.
     """
 
+    _chains: dict = {}
+
     def chained(k):
-        @jax.jit
-        def run(*a):
-            def body(c, _):
-                return 1e-12 * jnp.mean(fn(*a, c)), None
+        # memoized by chain length: the auto-scale pilot uses lengths 8/32,
+        # which the main measurement reuses whenever iters lands there —
+        # without the cache each reuse would recompile the full graph
+        # (minutes per shape through the tunneled compiler)
+        if k not in _chains:
+            @jax.jit
+            def run(*a):
+                def body(c, _):
+                    return 1e-12 * jnp.mean(fn(*a, c)), None
 
-            return lax.scan(body, jnp.float32(0.0), None, length=k)[0]
+                return lax.scan(body, jnp.float32(0.0), None, length=k)[0]
 
-        return run
+            _chains[k] = run
+        return _chains[k]
 
     def timed(f):
         t0 = time.perf_counter()
@@ -90,8 +98,13 @@ def device_time(
     float(f2(*args))
 
     def measure(f):
+        # true median, robust to outliers on BOTH sides; for even repeat
+        # counts average the middle pair (ts[n//2] alone would be the MAX
+        # of two samples — a one-sided bias in exactly the jitter regime
+        # this function exists to defeat)
         ts = sorted(timed(f) for _ in range(repeats))
-        return ts[len(ts) // 2]  # median: robust to outliers on BOTH sides
+        n = len(ts)
+        return ts[n // 2] if n % 2 else 0.5 * (ts[n // 2 - 1] + ts[n // 2])
 
     return max((measure(f2) - measure(f1)) / iters, 1e-9)
 

@@ -25,6 +25,14 @@ convergence_* JSON fields:
   <name>_curve.png    — log-scale loss curves
 
 Usage: python scripts/train_convergence.py [--epochs 60] [--train_duals 2500]
+
+--early_stop primed produces the third checked-in artifact: a run where
+the SMA early stop fires naturally at flagship scale (epoch ~7 on this
+corpus — the val loss rises transiently after epoch 1 and even the primed
+window trips on it, which is the measured reason the published reference
+run used train_indefinitely, ref config_unet_bigdata.py:14). The replay
+test recomputes the SMA rule from the logged losses and asserts the run
+stopped exactly where the rule fires.
 """
 
 import argparse
@@ -128,6 +136,14 @@ def main():
                     help="synth: Gaussian-indentation fixtures; realstl: depth "
                          "rendered by our meshgen from the reference's real STLs")
     ap.add_argument("--mesh_dir", default="/root/reference/mesh")
+    ap.add_argument("--early_stop", choices=("off", "primed", "reference"),
+                    default="off",
+                    help="off: train_indefinitely (the published run's mode); "
+                         "primed: let the SMA early stop fire naturally when "
+                         "validation genuinely stops improving (window seeded "
+                         "with the first val loss); reference: the reference's "
+                         "zeros-seeded window quirk (trips after ~6 epochs, "
+                         "ref train_unet.py:316-322,459-475)")
     args = ap.parse_args()
     if args.name is None:
         args.name = f"unet_{args.corpus}_convergence"
@@ -152,7 +168,8 @@ def main():
         depth_normalization_method="min_max_to_0_-1",
         norm_scale=0.9,
         use_difference_image=True,
-        train_indefinitely=True,
+        train_indefinitely=args.early_stop == "off",
+        early_stop_mode="primed" if args.early_stop == "primed" else "reference",
         downsample_factor=1.0,  # corpus generated at the training resolution
     )
 
@@ -221,6 +238,9 @@ def main():
         "val_loss_final": val_losses[-1],
         "val_loss_min": min(val_losses),
         "val_loss_min_epoch": int(np.argmin(val_losses)) + 1,
+        "early_stop_mode": args.early_stop,
+        # fewer epochs than the cap + early stop enabled => the SMA tripped
+        "early_stopped": args.early_stop != "off" and len(val_losses) < args.epochs,
         "test_loss_at_best_val": history["test_loss"][int(np.argmin(val_losses))],
         "val_drop_ratio": val_losses[0] / max(min(val_losses), 1e-30),
         "val_drop_ratio_init": val_loss_init / max(min(val_losses), 1e-30),

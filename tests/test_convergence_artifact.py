@@ -32,10 +32,29 @@ LOSS_RE = re.compile(
 
 SUMMARIES = sorted(glob.glob(os.path.join(ART_DIR, "*_summary.json")))
 
-# every checked-in artifact is replayed (both the synthetic-corpus run and
-# the real-STL-geometry run); parametrized by file name for clear reports
+
+def _mode(path):
+    with open(path) as f:
+        return json.load(f).get("early_stop_mode", "off")
+
+
+# long-horizon runs (train_indefinitely, the published run's mode) carry the
+# flagship trajectory contract; early-stop runs carry the SMA-rule contract
+# (they stop when the rule fires — on this corpus during the early transient
+# — so >=50-epoch/convergence assertions cannot apply to them)
+FLAGSHIP = [p for p in SUMMARIES if _mode(p) == "off"]
+EARLYSTOP = [p for p in SUMMARIES if _mode(p) != "off"]
+
+# every long-horizon artifact is replayed (both the synthetic-corpus run
+# and the real-STL-geometry run); parametrized by file name for clear reports
 artifact_files = pytest.mark.parametrize(
+    "summary_path", FLAGSHIP, ids=[os.path.basename(p) for p in FLAGSHIP]
+)
+all_artifact_files = pytest.mark.parametrize(
     "summary_path", SUMMARIES, ids=[os.path.basename(p) for p in SUMMARIES]
+)
+earlystop_files = pytest.mark.parametrize(
+    "summary_path", EARLYSTOP, ids=[os.path.basename(p) for p in EARLYSTOP]
 )
 
 
@@ -48,8 +67,13 @@ def _artifact(summary_path):
 
 
 def test_artifacts_exist():
-    assert SUMMARIES, (
-        "no convergence artifact checked in — run scripts/train_convergence.py"
+    assert FLAGSHIP, (
+        "no long-horizon convergence artifact checked in — run "
+        "scripts/train_convergence.py"
+    )
+    assert EARLYSTOP, (
+        "no early-stop convergence artifact checked in — run "
+        "scripts/train_convergence.py --early_stop primed"
     )
 
 
@@ -125,7 +149,51 @@ def test_validation_loss_converges(summary_path):
     assert sorted(test[-5:])[2] <= 10 * min(test)
 
 
-@artifact_files
+@earlystop_files
+def test_early_stop_fires_exactly_where_the_rule_says(summary_path):
+    """Flagship-scale evidence that the SMA early stop engages in a real
+    run (round-3 weak item 7 named 'early-stop interaction' as invisible
+    to short smokes). The artifact is a reference-recipe run with
+    --early_stop primed: this test REPLAYS the SMA rule (window
+    val_loss_SMA_window=10, stop after validation_loss_count_threshold=5
+    consecutive upward-SMA epochs; primed seeds the window with the first
+    val loss, train/loop.py:462-479) over the logged validation losses and
+    asserts the run stopped at exactly the epoch the rule first fires.
+
+    The run itself is also the measured reason the published reference run
+    used train_indefinitely (ref config_unet_bigdata.py:14): on this corpus
+    the val loss has an early transient rise after epoch 1, and even the
+    primed SMA trips on it (epoch ~7) — long before the 60-epoch
+    train_indefinitely runs reach their true minima (epochs 58/45)."""
+    summary, log_path = _artifact(summary_path)
+    epochs, _ = _parse_log(log_path)
+    val = [e[1] for e in epochs]
+    assert summary["early_stopped"] is True
+    assert summary["epochs"] == len(epochs)
+    # flagship recipe at scale, same as the long-horizon artifacts
+    assert summary["train_samples"] >= 5000
+    assert summary["batch_size"] == 16
+
+    window = np.zeros(10)
+    prev_sma, upward, trip_epoch = 0.0, 0, None
+    for i, v in enumerate(val):
+        if summary["early_stop_mode"] == "primed" and i == 0:
+            window[:] = v
+            prev_sma = float("inf")
+        window[i % 10] = v
+        sma = float(window.mean())
+        upward = upward + 1 if sma > prev_sma else 0
+        prev_sma = sma
+        if upward > 5:
+            trip_epoch = i + 1
+            break
+    assert trip_epoch is not None, "SMA rule never fires on the logged losses"
+    assert trip_epoch == len(val), (
+        f"run has {len(val)} epochs but the rule fires at {trip_epoch}"
+    )
+
+
+@all_artifact_files
 def test_epoch_times_are_sane_and_recorded(summary_path):
     summary, log_path = _artifact(summary_path)
     _, times = _parse_log(log_path)
@@ -152,6 +220,9 @@ def test_bench_surfaces_convergence_fields():
     spec.loader.exec_module(bench)
     conv = bench.load_convergence_summary()
     assert conv is not None
-    summary, _ = _artifact(SUMMARIES[-1])
-    assert conv["name"] == summary["name"]
+    # the primary is selected by NAME (the flagship synthetic-corpus run),
+    # not by file-sort order — a stray artifact sorting last must not
+    # silently become the headline
+    assert conv["name"] == bench.PRIMARY_CONVERGENCE
     assert conv["val_drop_ratio_init"] >= 100
+    assert conv.get("early_stop_mode", "off") == "off"

@@ -81,12 +81,14 @@ def grasp_width(pts: np.ndarray, penetration_per_side: float) -> float:
     return float(pts[:, 0].max() - pts[:, 0].min()) - 2.0 * penetration_per_side
 
 
-def projected_occupancy(pts: np.ndarray, pose, width: float):
+def projected_occupancy(pts: np.ndarray, pose):
     """(right, left) boolean maps of pixels receiving >=1 cloud point —
     an INDEPENDENT numpy replication of the projection (center along x,
     SE(2) in the y-z plane with translations x1000, rows<->y (mirrored for
     the left finger), cols<->z; ref depth_from_mesh.py:153-190) so the
-    deep-grasp carve-out is not computed by the code under test."""
+    deep-grasp carve-out is not computed by the code under test. Finger
+    assignment is the sign of the out-of-plane coordinate, so occupancy
+    does not depend on the grasp width."""
     p = pts.astype(np.float64).copy()
     p[:, 0] -= 0.5 * (p[:, 0].max() + p[:, 0].min())
     t1, t2, a = pose
@@ -143,7 +145,7 @@ def test_real_stl_deep_grasp_parity_near_data(tmp_path, stem, scale):
     width = grasp_width(pts, penetration_per_side=1.5)
     ref_r, ref_l = reference_pair(pts, POSE, width, tmp_path)
     got_r, got_l = our_pair(pts, POSE, width)
-    occ_r, occ_l = projected_occupancy(pts, POSE, width)
+    occ_r, occ_l = projected_occupancy(pts, POSE)
     for fname, got, want, occ in (
         ("right", got_r, ref_r, occ_r),
         ("left", got_l, ref_l, occ_l),

@@ -358,6 +358,36 @@ def test_load_quantized_legacy_json_fallback(tmp_path, rng):
     )
 
 
+def test_load_quantized_rejects_truncated_artifact(tmp_path, rng):
+    """A partially-written _int8.npz (interrupted save, partial copy) must
+    fail AT LOAD with an error naming the missing int8 arrays — not load
+    'successfully' and die later inside jit tracing with an opaque
+    KeyError from _apply_int8."""
+    from gelslim_depth_tpu.train.checkpoint import load_quantized, save_quantized
+
+    config = GelslimConfig(
+        weights_name="qtrunc", CNN_dimensions=(4, 8),
+        input_tactile_image_size=(16, 21),
+        image_normalization_method="0_255_to_0_1",
+        depth_normalization_method="min_max_to_0_-1",
+        depth_normalization_parameters=(-1.9, 0.0), norm_scale=0.9,
+    )
+    params, stats = init_unet(jax.random.PRNGKey(8), config.unet_config())
+    x = jnp.asarray(rng.uniform(0, 1, (2, 3, 16, 21)).astype(np.float32))
+    q = quantize_unet(config.unet_config(), params, stats, x)
+    save_quantized(str(tmp_path), config, q)
+    path = tmp_path / "qtrunc_int8.npz"
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    dropped = [k for k in flat if k.startswith("w8/down_0/")]
+    assert dropped
+    for k in dropped:
+        del flat[k], flat["w_scale/" + k[len("w8/"):]]
+    np.savez(path, **flat)
+    with pytest.raises(KeyError, match="w8/down_0"):
+        load_quantized(str(tmp_path))
+
+
 def test_recalibration_does_not_retrace(tiny_net, rng):
     """Activation scales are traced runtime data (round-4): quantizing
     again with different data of the same shapes must hit the existing

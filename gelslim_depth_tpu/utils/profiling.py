@@ -64,7 +64,10 @@ def device_time(
             @jax.jit
             def run(*a):
                 def body(c, _):
-                    return 1e-12 * jnp.mean(fn(*a, c)), None
+                    # f32 cast keeps the scan carry type stable whatever
+                    # dtype fn returns (bf16 outputs otherwise fail scan's
+                    # carry-type check)
+                    return 1e-12 * jnp.mean(fn(*a, c)).astype(jnp.float32), None
 
                 return lax.scan(body, jnp.float32(0.0), None, length=k)[0]
 

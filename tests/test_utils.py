@@ -40,6 +40,44 @@ def test_device_time_auto_chain_scales_iters():
     assert t < 0.01  # a tiny add is not 10ms/iter — sanity on the estimate
 
 
+def test_device_time_accepts_bf16_outputs():
+    """The probe carry must stay f32 whatever dtype fn returns — a bf16
+    forward (the production compute dtype) previously failed lax.scan's
+    carry-type check inside the timing chain."""
+    def bf16_fn(x, carry):
+        return (x + carry).astype(jnp.bfloat16)
+
+    x = jnp.ones((8, 8), dtype=jnp.float32)
+    t = device_time(bf16_fn, x, iters=4, repeats=2)
+    assert t > 0 and np.isfinite(t)
+
+
+def test_device_time_median_is_two_sided():
+    """With an even repeat count the combiner must average the middle
+    pair, not take ts[n//2] (the max of two samples — a one-sided bias in
+    exactly the jitter regime the median exists to defeat)."""
+    from unittest import mock
+
+    from gelslim_depth_tpu.utils import profiling
+
+    # deterministic fake clock; measure(f2) runs BEFORE measure(f1) in
+    # `(measure(f2) - measure(f1)) / iters`. Give f2 samples (9, 31) —
+    # one jitter outlier — and f1 samples (1, 3): the two-sided medians
+    # are 20 and 2 -> (20-2)/4 = 4.5; the old ts[n//2] combiner took the
+    # maxima (31, 3) -> 7.0, fully exposed to the one-sided outlier
+    ticks = iter([0.0, 9.0,    # f2 repeat 1 -> 9.0
+                  0.0, 31.0,   # f2 repeat 2 -> 31.0 (outlier)
+                  0.0, 1.0,    # f1 repeat 1 -> 1.0
+                  0.0, 3.0])   # f1 repeat 2 -> 3.0
+    def fn(x, carry):
+        return x + carry
+
+    x = jnp.ones((4,), dtype=jnp.float32)
+    with mock.patch.object(profiling.time, "perf_counter", lambda: next(ticks)):
+        t = device_time(fn, x, iters=4, repeats=2)
+    assert t == 4.5
+
+
 def test_roofline_guard_refuses_impossible_rates():
     import sys
     from pathlib import Path

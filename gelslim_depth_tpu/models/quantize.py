@@ -149,27 +149,40 @@ def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, s.astype(jnp.float32)
 
 
+def _quant_act(x, in_scale):
+    """Static-scale symmetric int8 activation quantization."""
+    in_s = jnp.asarray(in_scale, jnp.float32)
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / in_s), -127, 127).astype(jnp.int8)
+
+
+def _conv_int8_pre(qx, in_scale, w8, w_scale, pad):
+    """s8xs8->s32 conv on a PRE-quantized int8 input -> dequantized float
+    output (s_x * s_w[o] folded into one FMA). Taking int8 directly lets
+    long-lived producers (skip tensors) be stored at half width — see
+    _apply_int8."""
+    y = lax.conv_general_dilated(
+        qx, w8, (1, 1), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * (jnp.asarray(in_scale, jnp.float32) * w_scale)
+
+
 def _conv_int8(x, in_scale, w8, w_scale, pad):
     """float activations -> static-scale int8 -> s8xs8->s32 conv on the
     MXU -> dequantized float output (s_x * s_w[o] folded into one FMA).
     in_scale is a traced f32 scalar (or a python float from older call
     sites) — a runtime value, so recalibration does not retrace."""
-    in_s = jnp.asarray(in_scale, jnp.float32)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / in_s), -127, 127).astype(jnp.int8)
-    y = lax.conv_general_dilated(
-        q, w8, (1, 1), pad,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
-    )
-    return y.astype(jnp.float32) * (in_s * w_scale)
+    return _conv_int8_pre(_quant_act(x, in_scale), in_scale, w8, w_scale, pad)
 
 
 def _forward_eval(cfg: UNetConfig, params, batch_stats, x, dc_fn, compute_dtype, up_fn=None):
-    """The eval-mode network skeleton shared by calibration and the int8
-    apply; dc_fn(name, h) -> block output. up_fn(name, h, skip) -> up-block
-    output overrides the float _up_block (int8 row-split upconvs,
-    calibration recording). Mirrors unet_apply exactly
-    (models/unet.py:265-330) for the non-DoubleConv pieces."""
+    """The eval-mode network skeleton used by calibration (the int8 apply
+    inlines its own skeleton so skips can be stored int8 — _apply_int8);
+    dc_fn(name, h) -> block output. up_fn(name, h, skip) -> up-block
+    output overrides the float _up_block (calibration recording). Mirrors
+    unet_apply exactly (models/unet.py:265-330) for the non-DoubleConv
+    pieces."""
     precision = lax.Precision.HIGHEST if compute_dtype == jnp.float32 else lax.Precision.DEFAULT
     if up_fn is None:
         def up_fn(name, h, skip):
@@ -329,6 +342,21 @@ def quantize_unet(
 
 @functools.partial(jax.jit, static_argnames=("channels_last", "compute_dtype"))
 def _apply_int8(q: QuantizedUNet, x, *, channels_last, compute_dtype):
+    """Quantized eval forward with int8-resident skip tensors.
+
+    Skips persist across the whole network and dominate HBM traffic at the
+    full-resolution scales (docs/PERFORMANCE.md "Stage map of the int8
+    graph": up3's 558 MB concat at 128 fingers made it ~30% of the net).
+    Whenever the consuming up-block's conv1 is quantized (every standard
+    config — _quantized_sites always lists up_*/conv1), the skip AND the
+    up-sampled tensor are quantized AT PRODUCTION with that conv1's act
+    scale and stored int8, and conv1 consumes the int8 concat directly
+    (_conv_int8_pre): quantization commutes with pad (0 -> 0) and concat
+    at equal scale, so per-element math is the quantize-at-consumption
+    path's, within conv-reordering ULPs of bf16 (measured 2.4e-4 in
+    normalized units ~ 1 int8 LSB; the delta_mm fitness gate re-measures
+    per quantization regardless). Measured on v5e at 128 fingers:
+    27.1 -> 22.7 ms net-forward, +19-22% (interleaved A/B, round 4)."""
     cfg = q.cfg
     act = _activation_fn(cfg.activation)
     if not channels_last:
@@ -338,39 +366,75 @@ def _apply_int8(q: QuantizedUNet, x, *, channels_last, compute_dtype):
     quantized = {f"{b}/{c}" for b, c in _quantized_sites(cfg)}
     precision = lax.Precision.HIGHEST if compute_dtype == jnp.float32 else lax.Precision.DEFAULT
 
-    def one_conv(name, conv, h):
+    def bn_act(name, i, y):
         p, s = q.params[name], q.batch_stats[name]
-        i = conv[-1]  # '1' | '2'
-        if f"{name}/{conv}" in quantized:
-            y = _conv_int8(
-                h, q.act_scale[f"{name}/{conv}"], q.w8[name][conv], q.w_scale[name][conv], pad
-            )
-        else:
-            y = _conv(h, p[f"{conv}_w"], pad, compute_dtype, precision)
         y, _, _ = _batch_norm(
             y, p[f"bn{i}_scale"], p[f"bn{i}_bias"], s[f"bn{i}_mean"], s[f"bn{i}_var"], False
         )
         return act(y).astype(compute_dtype)
 
+    def one_conv(name, conv, h):
+        if f"{name}/{conv}" in quantized:
+            y = _conv_int8(
+                h, q.act_scale[f"{name}/{conv}"], q.w8[name][conv], q.w_scale[name][conv], pad
+            )
+        else:
+            y = _conv(h, q.params[name][f"{conv}_w"], pad, compute_dtype, precision)
+        return bn_act(name, conv[-1], y)
+
     def dc(name, h):
         return one_conv(name, "conv2", one_conv(name, "conv1", h))
 
-    # int8 row-split upconvs when the artifact carries them (presence of
-    # the 'upconv' key is part of the treedef, so this branch is static)
-    up_fn = None
-    if any("upconv" in q.w8.get(b, {}) for b in _upconv_sites(cfg)):
-        def up_fn(name, h, skip):
+    # encoder: each skip's consumer is up_{L-2-i}; pre-quantize for it
+    # (the bf16 value also feeds the immediate maxpool, which is consumed
+    # right away — only the skip's long-lived copy needs the half width)
+    skips = []  # (tensor, scale): int8 + its scale, or bf16 + None
+    h = dc("inc", x)
+    for i in range(cfg.num_levels - 1):
+        site = f"up_{cfg.num_levels - 2 - i}/conv1"
+        if site in quantized:
+            s = q.act_scale[site]
+            skips.append((_quant_act(h, s), s))
+        else:
+            skips.append((h, None))
+        h = dc(f"down_{i}", _maxpool(h, cfg.maxpool_size))
+
+    # decoder; row-split int8 upconvs when the artifact carries them
+    # (presence of the 'upconv' key is part of the treedef, so this
+    # branch is static)
+    for j in range(cfg.num_levels - 1):
+        name = f"up_{j}"
+        p = q.params[name]
+        skip, s = skips[cfg.num_levels - 2 - j]
+        if "upconv" in q.w8.get(name, {}):
             y = _upconv_int8(
                 h, q.act_scale[f"{name}/upconv"],
-                q.w8[name]["upconv"], q.w_scale[name]["upconv"],
-                q.params[name]["upconv_b"],
+                q.w8[name]["upconv"], q.w_scale[name]["upconv"], p["upconv_b"],
             ).astype(compute_dtype)
-            dy = skip.shape[1] - y.shape[1]
-            dx = skip.shape[2] - y.shape[2]
-            y = jnp.pad(y, ((0, 0), (dy // 2, dy - dy // 2), (dx // 2, dx - dx // 2), (0, 0)))
-            return dc(name, jnp.concatenate([skip.astype(compute_dtype), y], axis=-1))
+        else:
+            y = lax.conv_transpose(
+                h.astype(compute_dtype), p["upconv_w"].astype(compute_dtype),
+                strides=(cfg.upconv_stride, cfg.upconv_stride), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+                precision=precision,
+                preferred_element_type=jnp.float32 if compute_dtype == jnp.float32 else None,
+            ).astype(compute_dtype) + p["upconv_b"].astype(compute_dtype)
+        dy = skip.shape[1] - y.shape[1]
+        dx = skip.shape[2] - y.shape[2]
+        widths = ((0, 0), (dy // 2, dy - dy // 2), (dx // 2, dx - dx // 2), (0, 0))
+        if s is not None:
+            yq = jnp.pad(_quant_act(y, s), widths)
+            y1 = _conv_int8_pre(
+                jnp.concatenate([skip, yq], axis=-1),  # [x2, x1] order
+                s, q.w8[name]["conv1"], q.w_scale[name]["conv1"], pad,
+            )
+            h = one_conv(name, "conv2", bn_act(name, "1", y1))
+        else:
+            y = jnp.pad(y, widths)
+            h = dc(name, jnp.concatenate([skip.astype(compute_dtype), y], axis=-1))
 
-    out = _forward_eval(cfg, q.params, q.batch_stats, x, dc, compute_dtype, up_fn)
+    out = _conv(h, q.params["outc"]["w"], [(0, 0), (0, 0)], compute_dtype, precision)
+    out = (out + q.params["outc"]["b"].astype(out.dtype)).astype(jnp.float32)
     if not channels_last:
         out = jnp.transpose(out, (0, 3, 1, 2))
     return out

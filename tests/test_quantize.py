@@ -358,6 +358,26 @@ def test_load_quantized_legacy_json_fallback(tmp_path, rng):
     )
 
 
+def test_quantization_commutes_with_pad_and_concat(rng):
+    """The invariant int8-resident skips rely on (models/quantize.py
+    _apply_int8): at equal scale, quantizing each concat half at
+    PRODUCTION — including zero-padding in int8 — equals quantizing the
+    assembled concat at CONSUMPTION, element for element."""
+    from gelslim_depth_tpu.models.quantize import _quant_act
+
+    s = jnp.float32(0.0371)
+    skip = jnp.asarray(rng.uniform(-3, 3, (2, 8, 9, 4)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-3, 3, (2, 7, 8, 4)).astype(np.float32))
+    widths = ((0, 0), (0, 1), (1, 0), (0, 0))
+    consumption = _quant_act(
+        jnp.concatenate([skip, jnp.pad(y, widths)], axis=-1), s
+    )
+    production = jnp.concatenate(
+        [_quant_act(skip, s), jnp.pad(_quant_act(y, s), widths)], axis=-1
+    )
+    np.testing.assert_array_equal(np.asarray(production), np.asarray(consumption))
+
+
 def test_load_quantized_rejects_truncated_artifact(tmp_path, rng):
     """A partially-written _int8.npz (interrupted save, partial copy) must
     fail AT LOAD with an error naming the missing int8 arrays — not load

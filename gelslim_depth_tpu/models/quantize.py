@@ -43,6 +43,7 @@ from gelslim_depth_tpu.models.unet import (
     _conv,
     _maxpool,
     _up_block,
+    _upconv_float,
 )
 
 
@@ -347,8 +348,8 @@ def _apply_int8(q: QuantizedUNet, x, *, channels_last, compute_dtype):
     Skips persist across the whole network and dominate HBM traffic at the
     full-resolution scales (docs/PERFORMANCE.md "Stage map of the int8
     graph": up3's 558 MB concat at 128 fingers made it ~30% of the net).
-    Whenever the consuming up-block's conv1 is quantized (every standard
-    config — _quantized_sites always lists up_*/conv1), the skip AND the
+    Each skip's consumer — the up-block's conv1 — is always a quantized
+    site (_quantized_sites lists every up_*/conv1), so the skip AND the
     up-sampled tensor are quantized AT PRODUCTION with that conv1's act
     scale and stored int8, and conv1 consumes the int8 concat directly
     (_conv_int8_pre): quantization commutes with pad (0 -> 0) and concat
@@ -385,18 +386,17 @@ def _apply_int8(q: QuantizedUNet, x, *, channels_last, compute_dtype):
     def dc(name, h):
         return one_conv(name, "conv2", one_conv(name, "conv1", h))
 
-    # encoder: each skip's consumer is up_{L-2-i}; pre-quantize for it
-    # (the bf16 value also feeds the immediate maxpool, which is consumed
+    # encoder: each skip's consumer is up_{L-2-i}/conv1 — ALWAYS a
+    # quantized site (_quantized_sites lists every up_*/conv1), so the
+    # skip is stored pre-quantized at that scale unconditionally (the
+    # bf16 value also feeds the immediate maxpool, which is consumed
     # right away — only the skip's long-lived copy needs the half width)
-    skips = []  # (tensor, scale): int8 + its scale, or bf16 + None
+    skips_q, scales = [], []
     h = dc("inc", x)
     for i in range(cfg.num_levels - 1):
-        site = f"up_{cfg.num_levels - 2 - i}/conv1"
-        if site in quantized:
-            s = q.act_scale[site]
-            skips.append((_quant_act(h, s), s))
-        else:
-            skips.append((h, None))
+        s = q.act_scale[f"up_{cfg.num_levels - 2 - i}/conv1"]
+        skips_q.append(_quant_act(h, s))
+        scales.append(s)
         h = dc(f"down_{i}", _maxpool(h, cfg.maxpool_size))
 
     # decoder; row-split int8 upconvs when the artifact carries them
@@ -404,34 +404,27 @@ def _apply_int8(q: QuantizedUNet, x, *, channels_last, compute_dtype):
     # branch is static)
     for j in range(cfg.num_levels - 1):
         name = f"up_{j}"
-        p = q.params[name]
-        skip, s = skips[cfg.num_levels - 2 - j]
+        skip = skips_q[cfg.num_levels - 2 - j]
+        s = scales[cfg.num_levels - 2 - j]
         if "upconv" in q.w8.get(name, {}):
             y = _upconv_int8(
                 h, q.act_scale[f"{name}/upconv"],
-                q.w8[name]["upconv"], q.w_scale[name]["upconv"], p["upconv_b"],
+                q.w8[name]["upconv"], q.w_scale[name]["upconv"],
+                q.params[name]["upconv_b"],
             ).astype(compute_dtype)
         else:
-            y = lax.conv_transpose(
-                h.astype(compute_dtype), p["upconv_w"].astype(compute_dtype),
-                strides=(cfg.upconv_stride, cfg.upconv_stride), padding="VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
-                precision=precision,
-                preferred_element_type=jnp.float32 if compute_dtype == jnp.float32 else None,
-            ).astype(compute_dtype) + p["upconv_b"].astype(compute_dtype)
+            y = _upconv_float(h, q.params[name], cfg, compute_dtype, precision)
         dy = skip.shape[1] - y.shape[1]
         dx = skip.shape[2] - y.shape[2]
-        widths = ((0, 0), (dy // 2, dy - dy // 2), (dx // 2, dx - dx // 2), (0, 0))
-        if s is not None:
-            yq = jnp.pad(_quant_act(y, s), widths)
-            y1 = _conv_int8_pre(
-                jnp.concatenate([skip, yq], axis=-1),  # [x2, x1] order
-                s, q.w8[name]["conv1"], q.w_scale[name]["conv1"], pad,
-            )
-            h = one_conv(name, "conv2", bn_act(name, "1", y1))
-        else:
-            y = jnp.pad(y, widths)
-            h = dc(name, jnp.concatenate([skip.astype(compute_dtype), y], axis=-1))
+        yq = jnp.pad(
+            _quant_act(y, s),
+            ((0, 0), (dy // 2, dy - dy // 2), (dx // 2, dx - dx // 2), (0, 0)),
+        )
+        y1 = _conv_int8_pre(
+            jnp.concatenate([skip, yq], axis=-1),  # [x2, x1] order
+            s, q.w8[name]["conv1"], q.w_scale[name]["conv1"], pad,
+        )
+        h = one_conv(name, "conv2", bn_act(name, "1", y1))
 
     out = _conv(h, q.params["outc"]["w"], [(0, 0), (0, 0)], compute_dtype, precision)
     out = (out + q.params["outc"]["b"].astype(out.dtype)).astype(jnp.float32)

@@ -258,9 +258,12 @@ def _maxpool(x, m):
     return lax.reduce_window(x, -jnp.inf, lax.max, (1, m, m, 1), (1, m, m, 1), "VALID")
 
 
-def _up_block(x, skip, p, s, cfg, dc_fn, compute_dtype, precision):
+def _upconv_float(x, p, cfg, compute_dtype, precision):
+    """The float transposed conv + bias, shared by _up_block and the
+    quantized apply (models/quantize.py _apply_int8) so the two paths
+    cannot drift."""
     preferred = jnp.float32 if compute_dtype == jnp.float32 else None
-    y = lax.conv_transpose(
+    return lax.conv_transpose(
         x.astype(compute_dtype),
         p["upconv_w"].astype(compute_dtype),
         strides=(cfg.upconv_stride, cfg.upconv_stride),
@@ -270,6 +273,10 @@ def _up_block(x, skip, p, s, cfg, dc_fn, compute_dtype, precision):
         precision=precision,
         preferred_element_type=preferred,
     ).astype(compute_dtype) + p["upconv_b"].astype(compute_dtype)
+
+
+def _up_block(x, skip, p, s, cfg, dc_fn, compute_dtype, precision):
+    y = _upconv_float(x, p, cfg, compute_dtype, precision)
     # pad up-sampled map to the skip's spatial size (ref unet.py:41-47):
     # F.pad([diffX//2, diffX - diffX//2, diffY//2, ...])
     dy = skip.shape[1] - y.shape[1]

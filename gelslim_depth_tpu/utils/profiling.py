@@ -22,6 +22,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# device_time's clock, as a module-level seam: tests fake it by patching
+# _now alone, without hijacking the process-global time.perf_counter that
+# jax internals may also read mid-measurement
+_now = time.perf_counter
+
 
 def device_time(
     fn: Callable[..., jnp.ndarray],
@@ -75,9 +80,9 @@ def device_time(
         return _chains[k]
 
     def timed(f):
-        t0 = time.perf_counter()
+        t0 = _now()
         out = float(f(*args))  # the readback is the sync point
-        dt = time.perf_counter() - t0
+        dt = _now() - t0
         assert out == out, "non-finite output during timing"
         return dt
 

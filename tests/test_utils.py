@@ -73,7 +73,9 @@ def test_device_time_median_is_two_sided():
         return x + carry
 
     x = jnp.ones((4,), dtype=jnp.float32)
-    with mock.patch.object(profiling.time, "perf_counter", lambda: next(ticks)):
+    # patch the module's _now seam, not the process-global perf_counter —
+    # jax internals may read the real clock mid-measurement
+    with mock.patch.object(profiling, "_now", lambda: next(ticks)):
         t = device_time(fn, x, iters=4, repeats=2)
     assert t == 4.5
 

@@ -7,6 +7,7 @@ from gelslim_depth_tpu.parallel.mesh import (
     make_dp_predict,
     make_dp_fused_predictor,
     make_dp_fused_predictor_int8,
+    make_dp_renderer,
     make_spatial_predictor,
 )
 
@@ -19,6 +20,7 @@ __all__ = [
     "make_dp_predict",
     "make_dp_fused_predictor",
     "make_dp_fused_predictor_int8",
+    "make_dp_renderer",
     "make_spatial_predictor",
 ]
 

@@ -385,3 +385,29 @@ class TestNativeRenderer:
         d = load_pt(str(data_dir / "rod_train.pt"))["depth_image"]
         assert d.shape == (3, 2, 32, 43) and (d <= 1e-6).all()
         assert abs(d.min() - (-1.0)) < 0.1
+
+
+def test_dp_renderer_matches_single():
+    """GT rendering sharded over the pose batch (parallel.make_dp_renderer)
+    equals the unsharded renderer — the point cloud replicates, each device
+    splats its pose slice, zero collectives."""
+    import jax
+
+    from gelslim_depth_tpu.parallel import make_dp_renderer, make_mesh, replicate, shard_batch
+
+    n = 8
+    if len(jax.devices()) < n:
+        pytest.skip("needs the 8-virtual-device CPU mesh (tests/conftest.py)")
+    mesh = make_mesh(n)
+    tri = cube_triangles(size=(16, 6, 6))
+    pc = jnp.asarray(sample_surface_points(tri, 20_000, seed=3))
+    rng = np.random.RandomState(5)
+    poses = jnp.asarray(rng.uniform(-0.002, 0.002, (2 * n, 3)).astype(np.float32))
+    widths = jnp.asarray(rng.uniform(10, 14, (2 * n,)).astype(np.float32))
+    kw = dict(image_size=(64, 86), mm_per_pixel=20.0 / 64.0, fill_iters=4)
+
+    want = np.asarray(render_depth_batch(pc, poses, widths, spec=SPEC_YZ, **kw))
+    render = make_dp_renderer(mesh, spec=SPEC_YZ, **kw)
+    got = render(replicate(mesh, pc), shard_batch(mesh, poses), shard_batch(mesh, widths))
+    assert len(got.sharding.device_set) == n
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)

@@ -9,6 +9,7 @@ from gelslim_depth_tpu.parallel.mesh import (
     make_dp_fused_predictor_int8,
     make_dp_renderer,
     make_spatial_predictor,
+    make_spatial_predictor_int8,
 )
 
 __all__ = [
@@ -22,6 +23,7 @@ __all__ = [
     "make_dp_fused_predictor_int8",
     "make_dp_renderer",
     "make_spatial_predictor",
+    "make_spatial_predictor_int8",
 ]
 
 from gelslim_depth_tpu.parallel.multihost import (

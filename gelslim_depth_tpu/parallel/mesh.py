@@ -259,6 +259,50 @@ def make_spatial_predictor(
     )
 
 
+def make_spatial_predictor_int8(
+    config,
+    q,
+    mesh: Mesh,
+    output_size,
+    *,
+    axis_name: str = "data",
+    compute_dtype=jnp.bfloat16,
+):
+    """Height-sharded single-frame serving of the int8 PTQ graph — the
+    spatial-parallel analog of make_dp_fused_predictor_int8, completing
+    the sharding matrix ({batch, height} x {float, int8}). GSPMD derives
+    the conv halo exchanges for the s8xs8->s32 convs exactly as for the
+    float graph; the int8 weights/scales replicate. Use for the batch-1
+    latency regime on a multi-chip slice when the quantized graph is the
+    deployed one.
+
+    Output equality with the unsharded quantized graph is tested on the
+    virtual 8-device CPU mesh
+    (tests/test_inference.py::test_spatial_predictor_int8_matches_single).
+
+    Returns predict(q, frames, base) -> (N, 2, *out), frames sharded on
+    their height axis."""
+    from gelslim_depth_tpu.inference import fused_predict_dual
+    from gelslim_depth_tpu.models.quantize import unet_apply_int8
+
+    repl = NamedSharding(mesh, P())
+    spatial = NamedSharding(mesh, P(None, None, axis_name, None))
+    base_sh = NamedSharding(mesh, P(None, axis_name, None))
+
+    def fwd(q, frames, base):
+        return fused_predict_dual(
+            config, q.cfg, q.params, q.batch_stats, frames, base,
+            tuple(output_size), compute_dtype=compute_dtype, use_pallas=False,
+            net_fn=lambda z: unet_apply_int8(q, z, compute_dtype=compute_dtype),
+        )
+
+    return jax.jit(
+        fwd,
+        in_shardings=(repl, spatial, base_sh),
+        out_shardings=spatial,
+    )
+
+
 def make_dp_fused_predictor_int8(
     config,
     q,

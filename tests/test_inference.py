@@ -298,6 +298,39 @@ def test_spatial_predictor_matches_single(bundle):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
 
 
+def test_spatial_predictor_int8_matches_single(bundle):
+    """The int8 analog (make_spatial_predictor_int8): GSPMD halo
+    exchanges through the s8xs8->s32 convs must be semantically invisible
+    too — completing the {batch, height} x {float, int8} sharding matrix."""
+    import jax
+
+    from gelslim_depth_tpu.parallel import make_mesh, make_spatial_predictor_int8, replicate
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng, sd, cfg, pred = bundle
+    mesh = make_mesh(8)
+
+    frames = jnp.asarray(
+        np.random.RandomState(79).uniform(0, 255, (1, 6, 80, 107)).astype(np.float32)
+    )
+    base = jnp.asarray(
+        np.random.RandomState(80).uniform(0, 255, (6, 80, 107)).astype(np.float32)
+    )
+    qpred = pred.quantize(
+        jnp.asarray(np.random.RandomState(81).uniform(0, 255, (4, 6, 80, 107)).astype(np.float32)),
+        base,
+    )
+    predict = make_spatial_predictor_int8(
+        cfg, qpred.q, mesh, (80, 107), compute_dtype=jnp.float32
+    )
+    fr_sh = jax.device_put(frames, NamedSharding(mesh, P(None, None, "data", None)))
+    base_sh = jax.device_put(base, NamedSharding(mesh, P(None, "data", None)))
+    got = predict(replicate(mesh, qpred.q), fr_sh, base_sh)
+    assert len(got.sharding.device_set) == 8
+    want = qpred.predict_dual_frames(frames, base, (80, 107))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_auto_disabled_for_non_area_interp(rng):
     """The Pallas front-end hard-wires the area resize; a config with
     interp_method='bilinear' must take the XLA path that honors it even

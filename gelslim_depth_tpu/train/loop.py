@@ -42,6 +42,7 @@ single-process run. Only process 0 writes checkpoints/logs/plots.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from typing import Callable, Dict, List, Optional
@@ -553,9 +554,28 @@ class Trainer:
     def save_resume_state(self, name: str = "train_state") -> str:
         """Persist the full train state; only the main process writes, but
         every process returns the same (would-be) checkpoint path so callers
-        need not special-case workers."""
+        need not special-case workers.
+
+        Beside the device-state .npz a <name>_loop.json sidecar carries the
+        LOOP bookkeeping — epoch counter (which drives the per-epoch
+        shuffle/eval seeds), the early-stop SMA window/counter, the best-val
+        minimum, and the loss history. Without it a resumed run replays the
+        epoch-0 batch order (silently diverging from the uninterrupted
+        trajectory), re-saves a spurious 'best' on its first epoch, and
+        resets the early-stop window."""
         if self.is_main:
-            return ckpt.save_train_state(self.weights_dir, jax.device_get(self.state), name=name)
+            path = ckpt.save_train_state(self.weights_dir, jax.device_get(self.state), name=name)
+            loop = {
+                "epoch": self.epoch,
+                "val_window": [float(v) for v in self._val_window],
+                "prev_sma": float(self._prev_sma),
+                "upward_counter": int(self._upward_counter),
+                "min_validation_loss": float(self.min_validation_loss),
+                "history": {k: [float(v) for v in vs] for k, vs in self.history.items()},
+            }
+            with open(os.path.join(self.weights_dir, f"{name}_loop.json"), "w") as f:
+                json.dump(loop, f)
+            return path
         return os.path.join(self.weights_dir, f"{name}.npz")
 
     def load_resume_state(self, name: str = "train_state"):
@@ -564,6 +584,16 @@ class Trainer:
             from gelslim_depth_tpu.parallel import replicate
 
             self.state = replicate(self.mesh, self.state)
+        loop_path = os.path.join(self.weights_dir, f"{name}_loop.json")
+        if os.path.exists(loop_path):  # sidecar absent for pre-round-4 artifacts
+            with open(loop_path) as f:
+                loop = json.load(f)
+            self.epoch = int(loop["epoch"])
+            self._val_window = np.asarray(loop["val_window"], np.float64)
+            self._prev_sma = float(loop["prev_sma"])
+            self._upward_counter = int(loop["upward_counter"])
+            self.min_validation_loss = float(loop["min_validation_loss"])
+            self.history = {k: list(vs) for k, vs in loop["history"].items()}
 
     # ------------------------------------------------------------------
     def _plot_curves(self):

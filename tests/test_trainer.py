@@ -133,6 +133,45 @@ def test_resume_roundtrip(tmp_path, datasets):
     assert int(state_after.ema.num_updates) == int(state_before.ema.num_updates)
 
 
+def test_resume_continues_the_exact_trajectory(tmp_path, datasets):
+    """The preemption contract: train 2 epochs -> save -> NEW process ->
+    load -> 2 more epochs must equal 4 uninterrupted epochs, loss for
+    loss and leaf for leaf. This needs the loop bookkeeping sidecar
+    (epoch counter -> per-epoch shuffle/eval seeds, early-stop window,
+    best-val min, history), not just the device state — without it the
+    resumed run replays the epoch-0 batch order and re-saves a spurious
+    'best'."""
+    train, val = datasets
+    cfg = small_cfg()
+    straight = Trainer(cfg, train, val, val, output_dir=str(tmp_path / "a"),
+                       enable_plots=False, seed=3)
+    hist_straight = straight.fit(max_epochs=4)
+
+    first = Trainer(cfg, train, val, val, output_dir=str(tmp_path / "b"),
+                    enable_plots=False, seed=3)
+    first.fit(max_epochs=2)
+    first.save_resume_state()
+
+    second = Trainer(cfg, train, val, val, output_dir=str(tmp_path / "b"),
+                     enable_plots=False, seed=3)
+    second.load_resume_state()
+    assert second.epoch == 2
+    assert second.min_validation_loss == first.min_validation_loss
+    hist_resumed = second.fit(max_epochs=4)
+
+    assert len(hist_resumed["train_loss"]) == 4  # history carried over
+    np.testing.assert_allclose(
+        hist_resumed["train_loss"], hist_straight["train_loss"], rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        hist_resumed["validation_loss"], hist_straight["validation_loss"],
+        rtol=1e-5, atol=1e-7,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(straight.state)),
+                    jax.tree_util.tree_leaves(jax.device_get(second.state))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
 def test_fine_tune_starting_weights(tmp_path, datasets):
     train, val = datasets
     cfg = small_cfg()

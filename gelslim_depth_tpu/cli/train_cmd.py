@@ -249,7 +249,7 @@ def run(argv):
     )
     if args.resume:
         trainer.load_resume_state()
-        print(f"resumed from step {int(trainer.state.step)}")
+        print(f"resumed from step {int(trainer.state.step)} (epoch {trainer.epoch})")
     trainer.fit(max_epochs=args.max_epochs)
     trainer.save_resume_state()
     return 0

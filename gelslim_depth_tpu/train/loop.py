@@ -494,7 +494,9 @@ class Trainer:
         cfg = self.config
         start = time.time()
         stop = False
-        while not stop:
+        # upfront cap check: a run RESUMED at or past max_epochs must run
+        # zero epochs, not one (the end-of-loop check alone fires too late)
+        while not stop and not (max_epochs is not None and self.epoch >= max_epochs):
             t0 = time.time()
             if self.profile_first_epoch and self.epoch == 0:
                 jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))

@@ -171,6 +171,10 @@ def test_resume_continues_the_exact_trajectory(tmp_path, datasets):
                     jax.tree_util.tree_leaves(jax.device_get(second.state))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
 
+    # resuming AT the cap runs zero epochs (no off-by-one extra epoch)
+    hist_noop = second.fit(max_epochs=4)
+    assert len(hist_noop["train_loss"]) == 4 and second.epoch == 4
+
 
 def test_fine_tune_starting_weights(tmp_path, datasets):
     train, val = datasets

@@ -143,8 +143,12 @@ def save_train_state(ckpt_dir: str, state: TrainState, *, name: str = "train_sta
     flat["__num_updates"] = np.asarray(state.ema.num_updates)
     flat["__ema_decay"] = np.asarray(state.ema.decay)
     flat["__step"] = np.asarray(state.step)
+    # atomic: a preemption mid-write (the event this checkpoint defends
+    # against) must never leave a truncated .npz at the final path
     path = os.path.join(ckpt_dir, f"{name}.npz")
-    np.savez(path, **flat)
+    tmp = os.path.join(ckpt_dir, f"{name}.tmp.npz")
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
     return path
 
 

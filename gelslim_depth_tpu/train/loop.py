@@ -45,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import warnings
 from typing import Callable, Dict, List, Optional
 
 import numpy as np
@@ -545,8 +546,7 @@ class Trainer:
             self.epoch += 1
             if self.resume_every_epochs and self.epoch % self.resume_every_epochs == 0:
                 self.save_resume_state()
-            if max_epochs is not None and self.epoch >= max_epochs:
-                stop = True
+            # the max_epochs cap is enforced by the while-condition above
 
         self._log("Training complete")
         self._log(f"Training time: {time.time() - start}s")
@@ -569,14 +569,18 @@ class Trainer:
             path = ckpt.save_train_state(self.weights_dir, jax.device_get(self.state), name=name)
             loop = {
                 "epoch": self.epoch,
-                "val_window": [float(v) for v in self._val_window],
-                "prev_sma": float(self._prev_sma),
-                "upward_counter": int(self._upward_counter),
+                # step ties the sidecar to its .npz: both writes are atomic
+                # (tmp + os.replace), so a preemption between them leaves a
+                # detectable new-npz/old-sidecar pair, never a torn file
+                "step": int(self.state.step),
                 "min_validation_loss": float(self.min_validation_loss),
                 "history": {k: [float(v) for v in vs] for k, vs in self.history.items()},
             }
-            with open(os.path.join(self.weights_dir, f"{name}_loop.json"), "w") as f:
+            loop_path = os.path.join(self.weights_dir, f"{name}_loop.json")
+            tmp = loop_path + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(loop, f)
+            os.replace(tmp, loop_path)
             return path
         return os.path.join(self.weights_dir, f"{name}.npz")
 
@@ -587,15 +591,45 @@ class Trainer:
 
             self.state = replicate(self.mesh, self.state)
         loop_path = os.path.join(self.weights_dir, f"{name}_loop.json")
-        if os.path.exists(loop_path):  # sidecar absent for pre-round-4 artifacts
-            with open(loop_path) as f:
-                loop = json.load(f)
-            self.epoch = int(loop["epoch"])
-            self._val_window = np.asarray(loop["val_window"], np.float64)
-            self._prev_sma = float(loop["prev_sma"])
-            self._upward_counter = int(loop["upward_counter"])
-            self.min_validation_loss = float(loop["min_validation_loss"])
-            self.history = {k: list(vs) for k, vs in loop["history"].items()}
+        if not os.path.exists(loop_path):
+            # sidecar absent (pre-round-4 artifact, or only the .npz was
+            # copied): weights/optimizer are restored but the loop restarts
+            # at epoch 0 — warn loudly, this diverges from the
+            # uninterrupted trajectory (epoch-0 batch order, reset
+            # early-stop window, best-val re-save)
+            warnings.warn(
+                f"resume: no loop-bookkeeping sidecar at {loop_path}; device "
+                "state restored but epoch counter / early-stop window / "
+                "best-val minimum reset — the resumed run will NOT reproduce "
+                "the uninterrupted trajectory"
+            )
+            return
+        with open(loop_path) as f:
+            loop = json.load(f)
+        if int(loop.get("step", int(self.state.step))) != int(self.state.step):
+            warnings.warn(
+                f"resume: sidecar {loop_path} (step {loop['step']}) is out of "
+                f"sync with {name}.npz (step {int(self.state.step)}) — torn "
+                "checkpoint pair (preempted between the two writes?); "
+                "ignoring the stale sidecar, loop bookkeeping reset"
+            )
+            return
+        self.epoch = int(loop["epoch"])
+        self.min_validation_loss = float(loop["min_validation_loss"])
+        self.history = {k: list(vs) for k, vs in loop["history"].items()}
+        # the early-stop bookkeeping is REPLAYED from the restored history
+        # under the LIVE config rather than persisted raw: robust to a
+        # changed val_loss_SMA_window / early_stop_mode across the resume
+        # (the sidecar's window would have the old length), and exactly
+        # equal to the uninterrupted run when the config is unchanged
+        self._val_window = np.zeros(self.config.val_loss_SMA_window)
+        self._prev_sma = 0.0
+        self._upward_counter = 0
+        saved_epoch = self.epoch
+        for i, v in enumerate(self.history.get("validation_loss", [])):
+            self.epoch = i
+            self._early_stop_update(float(v))
+        self.epoch = saved_epoch
 
     # ------------------------------------------------------------------
     def _plot_curves(self):

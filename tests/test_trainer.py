@@ -176,6 +176,42 @@ def test_resume_continues_the_exact_trajectory(tmp_path, datasets):
     assert len(hist_noop["train_loss"]) == 4 and second.epoch == 4
 
 
+def test_resume_degraded_pairs_warn(tmp_path, datasets):
+    """A missing or torn (out-of-sync) loop sidecar must not crash or
+    silently diverge: the load warns loudly and resets the bookkeeping."""
+    import json as _json
+
+    train, val = datasets
+    cfg = small_cfg()
+    tr = Trainer(cfg, train, val, val, output_dir=str(tmp_path), enable_plots=False, seed=3)
+    tr.fit(max_epochs=2)
+    tr.save_resume_state()
+    sidecar = os.path.join(tr.weights_dir, "train_state_loop.json")
+    assert os.path.exists(sidecar)
+
+    # torn pair: sidecar step out of sync with the npz
+    with open(sidecar) as f:
+        loop = _json.load(f)
+    loop["step"] = loop["step"] + 1
+    with open(sidecar, "w") as f:
+        _json.dump(loop, f)
+    tr2 = Trainer(cfg, train, val, val, output_dir=str(tmp_path), enable_plots=False, seed=3)
+    with pytest.warns(UserWarning, match="torn checkpoint"):
+        tr2.load_resume_state()
+    assert tr2.epoch == 0  # bookkeeping reset, weights still loaded
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(tr2.state.params["inc"]["conv1_w"])),
+        np.asarray(jax.device_get(tr.state.params["inc"]["conv1_w"])),
+    )
+
+    # missing sidecar: pre-round-4 artifact shape
+    os.remove(sidecar)
+    tr3 = Trainer(cfg, train, val, val, output_dir=str(tmp_path), enable_plots=False, seed=3)
+    with pytest.warns(UserWarning, match="NOT reproduce"):
+        tr3.load_resume_state()
+    assert tr3.epoch == 0
+
+
 def test_fine_tune_starting_weights(tmp_path, datasets):
     train, val = datasets
     cfg = small_cfg()

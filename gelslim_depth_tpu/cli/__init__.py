@@ -27,6 +27,14 @@ def main(argv=None):
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return 0
+    if argv[0] in ("--version", "-V"):
+        from importlib.metadata import PackageNotFoundError, version
+
+        try:
+            print(version("gelslim-depth-tpu"))
+        except PackageNotFoundError:  # running from a source tree
+            print("0.0.0+source")
+        return 0
     cmd, rest = argv[0], argv[1:]
     from gelslim_depth_tpu.utils import enable_compilation_cache, pin_platform
 

@@ -97,9 +97,10 @@ def load_convergence_summaries():
     records learning evidence, not just throughput (VERDICT r3 item 3).
     The PRIMARY_CONVERGENCE artifact (the synthetic-corpus flagship run)
     is moved to the end and provides the primary fields; the others get
-    compact per-corpus extras. Selection is by the summary's own name, not
-    file-sort order — otherwise any artifact whose name happens to sort
-    after the flagship's would silently become the headline."""
+    compact per-corpus extras. Selection is strictly by the summary's own
+    name — if the flagship artifact is missing/unreadable, NO summary is
+    promoted to the primary fields (the headline must never silently
+    become a different corpus's run)."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -116,9 +117,12 @@ def load_convergence_summaries():
 
 
 def load_convergence_summary():
-    """The primary (flagship synthetic-corpus) convergence artifact."""
-    all_ = load_convergence_summaries()
-    return all_[-1] if all_ else None
+    """The primary (flagship synthetic-corpus) convergence artifact, or
+    None when it is absent — never a substitute."""
+    for c in load_convergence_summaries():
+        if c.get("name") == PRIMARY_CONVERGENCE:
+            return c
+    return None
 
 
 def main():
@@ -379,8 +383,11 @@ def main():
 
     convs = load_convergence_summaries()
     conv_fields = {}
+    if convs and convs[-1].get("name") != PRIMARY_CONVERGENCE:
+        log(f"flagship convergence artifact '{PRIMARY_CONVERGENCE}' missing — "
+            f"primary convergence_* fields omitted (no substitute promoted)")
     for i, conv in enumerate(convs):
-        primary = i == len(convs) - 1
+        primary = conv.get("name") == PRIMARY_CONVERGENCE
         if primary:
             conv_fields.update({
                 "convergence_epochs": conv.get("epochs"),

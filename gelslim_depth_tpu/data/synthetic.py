@@ -19,6 +19,42 @@ from typing import Dict, Tuple
 import numpy as np
 
 
+def _base_frames(
+    rng: np.random.RandomState, n: int, h: int, w: int, jitter: float
+) -> np.ndarray:
+    """Undeformed reference frames: a per-channel DC level plus spatial
+    jitter, identical across the N samples of one object."""
+    base = rng.uniform(80, 170, (1, 6, 1, 1)).astype(np.float32) + rng.uniform(
+        -jitter, jitter, (1, 6, h, w)
+    ).astype(np.float32)
+    return np.broadcast_to(base, (n, 6, h, w)).copy()
+
+
+def _apply_sensor_response(
+    rng: np.random.RandomState,
+    base: np.ndarray,
+    depth: np.ndarray,
+    *,
+    max_depth_mm: float,
+    response_power: float = 1.0,
+    noise_std: float = 2.0,
+) -> np.ndarray:
+    """The sensor model shared by BOTH fixture generators (Gaussian-blob
+    and real-STL corpora must see the same camera): per-channel response
+    [+35, -20, +15]/mm of indentation, raised to `response_power` on the
+    normalized indentation, plus additive noise, clipped to [0, 255]."""
+    tactile = base.copy()
+    for f in range(2):
+        resp = (-depth[:, f : f + 1]) / max_depth_mm  # [0, 1] where contact
+        resp = max_depth_mm * resp ** np.float32(response_power)
+        tactile[:, 3 * f : 3 * f + 3] += np.concatenate(
+            [35.0 * resp, -20.0 * resp, 15.0 * resp], axis=1
+        )
+    return np.clip(
+        tactile + rng.normal(0, noise_std, tactile.shape), 0, 255
+    ).astype(np.float32)
+
+
 def make_synthetic_object(
     rng: np.random.RandomState,
     n: int = 8,
@@ -43,10 +79,7 @@ def make_synthetic_object(
     fixtures."""
     h, w = image_size
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    base = rng.uniform(80, 170, (1, 6, 1, 1)).astype(np.float32) + rng.uniform(
-        -8, 8, (1, 6, h, w)
-    ).astype(np.float32)
-    base = np.broadcast_to(base, (n, 6, h, w)).copy()
+    base = _base_frames(rng, n, h, w, jitter=8.0)
 
     s_lo, s_hi = blob_sigma_range
     depth = np.zeros((n, 2, h, w), np.float32)
@@ -66,15 +99,10 @@ def make_synthetic_object(
                 ).astype(np.float32)
     depth = np.maximum(depth, -max_depth_mm)
 
-    tactile = base.copy()
-    for f in range(2):
-        # contact brightens/darkens channels proportionally to indentation
-        resp = (-depth[:, f : f + 1]) / max_depth_mm  # [0, 1] where contact
-        resp = max_depth_mm * resp ** np.float32(response_power)
-        tactile[:, 3 * f : 3 * f + 3] += np.concatenate(
-            [35.0 * resp, -20.0 * resp, 15.0 * resp], axis=1
-        )
-    tactile = np.clip(tactile + rng.normal(0, noise_std, tactile.shape), 0, 255).astype(np.float32)
+    tactile = _apply_sensor_response(
+        rng, base, depth, max_depth_mm=max_depth_mm,
+        response_power=response_power, noise_std=noise_std,
+    )
 
     return {
         "tactile_image": tactile,
@@ -160,18 +188,12 @@ def make_mesh_contact_object(
     )
     depth = np.maximum(depth, -max_depth_mm)
 
-    base = rng.uniform(80, 170, (1, 6, 1, 1)).astype(np.float32) + rng.uniform(
-        -6, 6, (1, 6, h, w)
-    ).astype(np.float32)
-    base = np.broadcast_to(base, (n, 6, h, w)).copy()
-    tactile = base.copy()
-    for f in range(2):
-        resp = -depth[:, f : f + 1]  # positive mm where contact
-        tactile[:, 3 * f : 3 * f + 3] += np.concatenate(
-            [35.0 * resp, -20.0 * resp, 15.0 * resp], axis=1
-        )
-    tactile = np.clip(tactile + rng.normal(0, noise_std, tactile.shape), 0, 255).astype(
-        np.float32
+    base = _base_frames(rng, n, h, w, jitter=6.0)
+    # response_power=1 makes the helper's normalized form reduce to the
+    # plain per-mm response this corpus has always used
+    tactile = _apply_sensor_response(
+        rng, base, depth, max_depth_mm=max_depth_mm, response_power=1.0,
+        noise_std=noise_std,
     )
 
     return {

@@ -241,8 +241,14 @@ def load_quantized(ckpt_dir: str, name: str = None):
     for key in flat:
         if key.startswith("w8/"):
             block, conv = key[len("w8/"):].split("/")
+            scale_key = f"w_scale/{block}/{conv}"
+            if scale_key not in flat:
+                raise KeyError(
+                    f"quantized artifact {name}_int8.npz carries {key} but "
+                    f"not {scale_key} — truncated or corrupt file?"
+                )
             w8.setdefault(block, {})[conv] = jnp.asarray(flat[key])
-            w_scale.setdefault(block, {})[conv] = jnp.asarray(flat[f"w_scale/{block}/{conv}"])
+            w_scale.setdefault(block, {})[conv] = jnp.asarray(flat[scale_key])
     # ... but a valid artifact must carry AT LEAST the baseline conv sites:
     # a truncated/partially-written .npz would otherwise load 'successfully'
     # and only die later inside jit tracing with an opaque KeyError
@@ -254,6 +260,12 @@ def load_quantized(ckpt_dir: str, name: str = None):
         raise KeyError(
             f"quantized artifact {name}_int8.npz is missing int8 weight "
             f"arrays {missing} — truncated or corrupt file?"
+        )
+    if "act_scale_json" not in flat:
+        raise KeyError(
+            f"quantized artifact {name}_int8.npz is missing the "
+            f"act_scale_json activation-scale record — truncated or "
+            f"corrupt file?"
         )
     act_scale = _json.loads(bytes(flat["act_scale_json"]).decode())
     return config, QuantizedUNet(

@@ -37,11 +37,16 @@ def pin_platform(device: str | None = None) -> None:
       broken tunnel then hangs every CLI command, even ones the user
       explicitly asked to run on cpu). Pinning through jax.config works.
 
-    Only 'cpu' and 'tpu' are pinned; any other value (CUDA ordinals etc.)
-    is the reference's GPU selection, which has no meaning here and keeps
+    Only 'cpu' and 'tpu' are pinned; a JAX-style comma priority list
+    ('cpu,tpu') pins its HEAD — jax_platforms treats every listed platform
+    as required-to-initialize, so forwarding the full list would make a
+    broken tunnel fail even the cpu half, the exact hang/failure this
+    function exists to prevent. Any other value (CUDA ordinals etc.) is
+    the reference's GPU selection, which has no meaning here and keeps
     the documented ignored-positional behavior."""
     want = (device or os.environ.get("JAX_PLATFORMS") or "").strip().lower()
-    if want in ("cpu", "tpu"):
+    head = want.split(",")[0].strip()
+    if head in ("cpu", "tpu"):
         import jax
 
-        jax.config.update("jax_platforms", want)
+        jax.config.update("jax_platforms", head)

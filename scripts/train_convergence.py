@@ -224,6 +224,11 @@ def main():
                 epoch_times.append(float(line.split(":")[1]))
     et = sorted(epoch_times)
     val_losses = history["validation_loss"]
+    if not val_losses or not et:
+        raise SystemExit(
+            f"no epochs ran (--epochs {args.epochs}; a resumed workdir may "
+            f"already be at the cap) — nothing to summarize, no artifact written"
+        )
     summary = {
         "name": args.name,
         "epochs": len(val_losses),

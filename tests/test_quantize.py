@@ -407,6 +407,26 @@ def test_load_quantized_rejects_truncated_artifact(tmp_path, rng):
     with pytest.raises(KeyError, match="w8/down_0"):
         load_quantized(str(tmp_path))
 
+    # a file truncated between the w8 block and its scales must also fail
+    # with the named diagnostic, not a bare KeyError from the scale lookup
+    save_quantized(str(tmp_path), config, q)
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    some_scale = next(k for k in flat if k.startswith("w_scale/"))
+    del flat[some_scale]
+    np.savez(path, **flat)
+    with pytest.raises(KeyError, match="truncated or corrupt"):
+        load_quantized(str(tmp_path))
+
+    # ... and one missing the activation-scale record entirely
+    save_quantized(str(tmp_path), config, q)
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    del flat["act_scale_json"]
+    np.savez(path, **flat)
+    with pytest.raises(KeyError, match="act_scale_json"):
+        load_quantized(str(tmp_path))
+
 
 def test_recalibration_does_not_retrace(tiny_net, rng):
     """Activation scales are traced runtime data (round-4): quantizing

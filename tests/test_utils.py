@@ -160,6 +160,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 pin_platform()
 assert jax.config.jax_platforms == "cpu"
 
+# a JAX-style priority list pins its head (forwarding the full list would
+# make jax require BOTH platforms to initialize — a broken tunnel would
+# then fail even the cpu half)
+jax.config.update("jax_platforms", None)
+os.environ["JAX_PLATFORMS"] = "cpu,tpu"
+pin_platform()
+assert jax.config.jax_platforms == "cpu", jax.config.jax_platforms
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax.numpy as jnp
 assert jax.devices()[0].platform == "cpu"
 print("PIN_OK", float(jnp.ones(()).sum()))

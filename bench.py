@@ -322,6 +322,30 @@ def main():
     batch1_candidates = [v for v in (batch1_bf16_fps, batch1_int8_fps) if v]
     batch1_fps = max(batch1_candidates) if batch1_candidates else None
 
+    # --- int8 micro-batch (streaming, 2-4 frames per dispatch) -----------
+    # Batch 1 sits just under the 1,000 f/s north star (per-layer
+    # small-shape latency, docs/PERFORMANCE.md); grouping 2 frames into one
+    # dispatch (StreamingEngine.submit accepts a pre-batched array) crosses
+    # it while keeping ~2 ms latency. Measured so the latency/throughput
+    # tradeoff ships as data, not extrapolation.
+    microbatch_int8 = {}
+    try:
+        if best_int8_pred is not None:
+            for mb in (2, 4):
+                xm = jnp.asarray(
+                    rng.uniform(0, 255, (mb, 6, 320, 427)).astype(np.float32))
+                dtm, fpsm, _ = roofline_guard(
+                    f"int8 micro-batch {mb}",
+                    lambda: device_time(graph_q, best_int8_pred.q, xm, tac_base,
+                                        repeats=3),
+                    mb, flops_per_frame, PEAK_INT8)
+                if fpsm is not None:
+                    microbatch_int8[mb] = fpsm
+                    log(f"int8 micro-batch {mb}: {dtm * 1e3:.2f} ms/dispatch, "
+                        f"{fpsm:.0f} dual frames/s")
+    except Exception as e:
+        log(f"micro-batch diag failed: {type(e).__name__}: {e}")
+
     # --- training step (BASELINE config 3): fwd+bwd+Adam+EMA @ 160x213 ---
     # NHWC (channels-last baked data, no per-step layout transpose) is the
     # production path; NCHW bs=16 is kept as the parity-recipe diagnostic.
@@ -457,6 +481,10 @@ def main():
                 "batch1_bf16_roofline_frac": None if batch1_bf16_frac is None else round(batch1_bf16_frac, 3),
                 "batch1_int8_fps": None if batch1_int8_fps is None else round(batch1_int8_fps, 1),
                 "batch1_int8_roofline_frac": None if batch1_int8_frac is None else round(batch1_int8_frac, 3),
+                # streaming with 2/4 frames in flight (see the micro-batch
+                # bench section): where the 1,000 f/s line is crossed
+                "microbatch2_int8_fps": None if 2 not in microbatch_int8 else round(microbatch_int8[2], 1),
+                "microbatch4_int8_fps": None if 4 not in microbatch_int8 else round(microbatch_int8[4], 1),
                 "timing": "auto-chained device_time (>=0.2 s differenced signal), median-of-repeats, roofline-guarded",
                 "train_samples_per_sec": None if train_fps is None else round(train_fps, 1),
                 "train_mfu": None if train_mfu is None else round(train_mfu, 3),

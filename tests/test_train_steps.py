@@ -359,3 +359,25 @@ def test_make_mesh_refuses_undersized_mesh():
 
     with pytest.raises(RuntimeError, match="requested 9 devices"):
         make_mesh(9)  # conftest pins an 8-virtual-device CPU backend
+
+
+def test_driver_serving_gate_on_non_dividing_device_count():
+    """__graft_entry__._dryrun_serving must pass at device counts that do
+    NOT divide its nominal 80-px gate height (here 3): the spatial gates
+    height-shard concrete arrays, and device_put requires the sharded axis
+    to divide evenly, so the gate rounds its height up to a multiple of
+    the device count. Locks the driver gate against e.g. 32-chip slices
+    (80 % 32 != 0) where every serving path genuinely works."""
+    import importlib.util
+    import os
+
+    from gelslim_depth_tpu.parallel import make_mesh
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "__graft_entry__.py",
+    )
+    spec = importlib.util.spec_from_file_location("graft_entry_for_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod._dryrun_serving(3, make_mesh(3))  # raises on any inequality

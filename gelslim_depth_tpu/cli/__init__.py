@@ -32,8 +32,19 @@ def main(argv=None):
 
         try:
             print(version("gelslim-depth-tpu"))
-        except PackageNotFoundError:  # running from a source tree
-            print("0.0.0+source")
+        except PackageNotFoundError:  # running from a source tree: read
+            import os                 # the version straight from pyproject
+            import re
+
+            pyproject = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))), "pyproject.toml")
+            try:
+                with open(pyproject) as f:
+                    m = re.search(r'^version\s*=\s*"([^"]+)"', f.read(), re.M)
+                print(f"{m.group(1)}+source" if m else "0.0.0+source")
+            except OSError:
+                print("0.0.0+source")
         return 0
     cmd, rest = argv[0], argv[1:]
     from gelslim_depth_tpu.utils import enable_compilation_cache, pin_platform

@@ -90,7 +90,7 @@ def make_tactile_frames(seed: int, n: int):
 PRIMARY_CONVERGENCE = "unet_synth_convergence"
 
 
-def load_convergence_summaries():
+def load_convergence_summaries(art_dir: str = None):
     """All checked-in convergence artifacts
     (scripts/train_convergence.py -> artifacts/convergence/*_summary.json),
     surfaced as convergence_* fields in the bench JSON so the driver
@@ -103,8 +103,10 @@ def load_convergence_summaries():
     become a different corpus's run)."""
     import glob
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(glob.glob(os.path.join(here, "artifacts", "convergence", "*_summary.json")))
+    if art_dir is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+        art_dir = os.path.join(here, "artifacts", "convergence")
+    paths = sorted(glob.glob(os.path.join(art_dir, "*_summary.json")))
     out = []
     for p in paths:
         try:
@@ -112,6 +114,24 @@ def load_convergence_summaries():
                 out.append(json.load(f))
         except Exception as e:
             log(f"convergence summary unreadable ({p}): {e}")
+    # only ONE summary may carry the primary name: a duplicate (e.g. a
+    # re-run saved under another filename) would silently overwrite the
+    # primary convergence_* fields — keep the first (by filename order) as
+    # primary and demote the rest to uniquely-tagged extras
+    n_dup = 0
+    seen_primary = False
+    for i, c in enumerate(out):
+        if c.get("name") != PRIMARY_CONVERGENCE:
+            continue
+        if not seen_primary:
+            seen_primary = True
+            continue
+        n_dup += 1
+        dup = dict(c)
+        dup["name"] = f"unet_synth_dup{n_dup}_convergence"
+        out[i] = dup
+        log(f"duplicate '{PRIMARY_CONVERGENCE}' summary demoted to extras "
+            f"as {dup['name']} (only the first is the primary)")
     out.sort(key=lambda c: c.get("name") == PRIMARY_CONVERGENCE)
     return out
 

@@ -26,6 +26,27 @@ from gelslim_depth_tpu.train.ema import EmaState
 from gelslim_depth_tpu.train.steps import TrainState
 
 
+def replace_durable(tmp: str, path: str) -> None:
+    """os.replace(tmp, path) with fsync of the data and the directory:
+    atomic against process preemption AND durable against host crash/power
+    loss — without the fsyncs some filesystems can surface a zero-length
+    file at the final path after a crash that follows the rename."""
+    with open(tmp, "rb") as f:
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    try:
+        dfd = os.open(os.path.dirname(os.path.abspath(path)), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        # directory fsync is best-effort (not supported on some platforms /
+        # filesystems); the data fsync above already bounds the damage to
+        # "rename lost", never "truncated file"
+        pass
+
+
 def _flatten(tree, prefix: str = "") -> Dict[str, np.ndarray]:
     out = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
@@ -143,12 +164,13 @@ def save_train_state(ckpt_dir: str, state: TrainState, *, name: str = "train_sta
     flat["__num_updates"] = np.asarray(state.ema.num_updates)
     flat["__ema_decay"] = np.asarray(state.ema.decay)
     flat["__step"] = np.asarray(state.step)
-    # atomic: a preemption mid-write (the event this checkpoint defends
-    # against) must never leave a truncated .npz at the final path
+    # atomic AND durable: a preemption mid-write must never leave a
+    # truncated .npz at the final path, and a host crash/power loss right
+    # after the rename must never surface a zero-length file there
     path = os.path.join(ckpt_dir, f"{name}.npz")
     tmp = os.path.join(ckpt_dir, f"{name}.tmp.npz")
     np.savez(tmp, **flat)
-    os.replace(tmp, path)
+    replace_durable(tmp, path)
     return path
 
 

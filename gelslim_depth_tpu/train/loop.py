@@ -272,6 +272,11 @@ class Trainer:
         self._val_window = np.zeros(config.val_loss_SMA_window)
         self._prev_sma = 0.0
         self._upward_counter = 0
+        # True once the SMA early-stop rule has fired (even under
+        # train_indefinitely, where it only logs) — artifact writers record
+        # the actual stop condition from here instead of inferring it from
+        # epoch counts, which misreads a stop at exactly the epoch cap
+        self.early_stop_tripped = False
         self.epoch = 0
 
         # write the frozen config artifacts up front, like the reference
@@ -513,6 +518,7 @@ class Trainer:
 
             # SMA early-stop bookkeeping (ref :459-475)
             if self._early_stop_update(val_loss):
+                self.early_stop_tripped = True
                 if cfg.train_indefinitely:
                     msg = f"Validation loss stopped decreasing at epoch {self.epoch + 1}"
                     self._log(msg)
@@ -580,7 +586,7 @@ class Trainer:
             tmp = loop_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(loop, f)
-            os.replace(tmp, loop_path)
+            ckpt.replace_durable(tmp, loop_path)
             return path
         return os.path.join(self.weights_dir, f"{name}.npz")
 
@@ -606,7 +612,18 @@ class Trainer:
             return
         with open(loop_path) as f:
             loop = json.load(f)
-        if int(loop.get("step", int(self.state.step))) != int(self.state.step):
+        if "step" not in loop:
+            # a sidecar without the step key (hand-edited, or written by a
+            # different schema) cannot be cross-checked against the .npz —
+            # treat it as degraded exactly like a torn pair rather than
+            # silently trusting its bookkeeping
+            warnings.warn(
+                f"resume: sidecar {loop_path} has no 'step' key, so it cannot "
+                f"be verified against {name}.npz — ignoring it, loop "
+                "bookkeeping reset"
+            )
+            return
+        if int(loop["step"]) != int(self.state.step):
             warnings.warn(
                 f"resume: sidecar {loop_path} (step {loop['step']}) is out of "
                 f"sync with {name}.npz (step {int(self.state.step)}) — torn "
@@ -628,7 +645,8 @@ class Trainer:
         saved_epoch = self.epoch
         for i, v in enumerate(self.history.get("validation_loss", [])):
             self.epoch = i
-            self._early_stop_update(float(v))
+            if self._early_stop_update(float(v)):
+                self.early_stop_tripped = True
         self.epoch = saved_epoch
 
     # ------------------------------------------------------------------

@@ -244,8 +244,12 @@ def main():
         "val_loss_min": min(val_losses),
         "val_loss_min_epoch": int(np.argmin(val_losses)) + 1,
         "early_stop_mode": args.early_stop,
-        # fewer epochs than the cap + early stop enabled => the SMA tripped
-        "early_stopped": args.early_stop != "off" and len(val_losses) < args.epochs,
+        # the actual stop condition from the trainer — inferring it from
+        # len(val_losses) < cap misreads a stop that fires exactly at the
+        # final capped epoch. Under --early_stop off the trainer runs
+        # train_indefinitely, where a tripped SMA only logs, so that mode
+        # always records False here.
+        "early_stopped": args.early_stop != "off" and bool(trainer.early_stop_tripped),
         "test_loss_at_best_val": history["test_loss"][int(np.argmin(val_losses))],
         "val_drop_ratio": val_losses[0] / max(min(val_losses), 1e-30),
         "val_drop_ratio_init": val_loss_init / max(min(val_losses), 1e-30),

@@ -226,3 +226,30 @@ def test_bench_surfaces_convergence_fields():
     assert conv["name"] == bench.PRIMARY_CONVERGENCE
     assert conv["val_drop_ratio_init"] >= 100
     assert conv.get("early_stop_mode", "off") == "off"
+
+
+def test_bench_demotes_duplicate_primary_summaries(tmp_path):
+    """Two artifacts carrying the primary name (e.g. a re-run saved under a
+    different filename) must not both take the primary branch: the first
+    (by filename) stays primary, the rest become uniquely-tagged extras."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(ART_DIR), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    for fname, epochs in (("a_summary.json", 10), ("b_summary.json", 20)):
+        with open(tmp_path / fname, "w") as f:
+            _json.dump({"name": bench.PRIMARY_CONVERGENCE, "epochs": epochs}, f)
+    out = bench.load_convergence_summaries(str(tmp_path))
+    assert len(out) == 2
+    primaries = [c for c in out if c["name"] == bench.PRIMARY_CONVERGENCE]
+    assert len(primaries) == 1
+    assert primaries[0]["epochs"] == 10  # first by filename order wins
+    assert out[-1]["name"] == bench.PRIMARY_CONVERGENCE  # still sorted last
+    (demoted,) = [c for c in out if c["name"] != bench.PRIMARY_CONVERGENCE]
+    assert demoted["name"] == "unet_synth_dup1_convergence"
+    assert demoted["epochs"] == 20

@@ -98,8 +98,12 @@ def test_early_stop_counter(tmp_path, datasets):
     train, val = datasets
     cfg = small_cfg(training_learning_rate=0.0, val_loss_SMA_window=2, validation_loss_count_threshold=1)
     tr = Trainer(cfg, train, val, val, output_dir=str(tmp_path), enable_plots=False)
+    assert tr.early_stop_tripped is False
     hist = tr.fit(max_epochs=30)
     assert len(hist["train_loss"]) < 30  # stopped early
+    # the actual stop condition is recorded on the trainer (artifact
+    # writers read this instead of inferring a stop from epoch counts)
+    assert tr.early_stop_tripped is True
 
 
 def test_train_indefinitely_does_not_stop(tmp_path, datasets):
@@ -112,6 +116,8 @@ def test_train_indefinitely_does_not_stop(tmp_path, datasets):
     assert len(hist["train_loss"]) == 6
     log = open(os.path.join(str(tmp_path), "loss_values", "tiny.txt")).read()
     assert "Validation loss stopped decreasing at epoch" in log
+    # the rule fired (and is recorded) even though indefinite mode kept going
+    assert tr.early_stop_tripped is True
     # epoch-pinned snapshot
     assert os.path.exists(os.path.join(str(tmp_path), "weights", "tiny_epoch3.npz"))
 
@@ -203,6 +209,16 @@ def test_resume_degraded_pairs_warn(tmp_path, datasets):
         np.asarray(jax.device_get(tr2.state.params["inc"]["conv1_w"])),
         np.asarray(jax.device_get(tr.state.params["inc"]["conv1_w"])),
     )
+
+    # degraded sidecar: no 'step' key -> cannot be cross-checked against
+    # the npz, must be treated like a torn pair (warn + reset), not trusted
+    stripped = {k: v for k, v in loop.items() if k != "step"}
+    with open(sidecar, "w") as f:
+        _json.dump(stripped, f)
+    tr2b = Trainer(cfg, train, val, val, output_dir=str(tmp_path), enable_plots=False, seed=3)
+    with pytest.warns(UserWarning, match="no 'step' key"):
+        tr2b.load_resume_state()
+    assert tr2b.epoch == 0
 
     # missing sidecar: pre-round-4 artifact shape
     os.remove(sidecar)

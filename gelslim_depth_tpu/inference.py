@@ -167,6 +167,7 @@ class Predictor:
         self.compute_dtype = compute_dtype
         self._single = functools.cache(self._make_single)
         self._dual = functools.cache(self._make_dual)
+        self._dual_multi = functools.cache(lambda key: self._make_dual_multi(*key))
 
     @classmethod
     def from_torch_checkpoint(cls, path: str, config: GelslimConfig, **kw) -> "Predictor":
@@ -194,6 +195,23 @@ class Predictor:
         )
         return jax.jit(lambda p, s, im, base: fn(p, s, im, base, output_size=output_size))
 
+    def _make_dual_multi(self, output_size: Tuple[int, int], k: int):
+        # k-frame micro-batch graph taking the frames as k SEPARATE (1, 6,
+        # H, W) args and concatenating INSIDE the jit: the StreamingEngine's
+        # coalesced dispatch is then exactly one program call (an eager
+        # device-side concatenate costs ~a full dispatch round-trip on
+        # tunneled runtimes, and a host-side stack would force device
+        # frames back through the host)
+        fn = functools.partial(
+            fused_predict_dual, self.config, self.unet_cfg, compute_dtype=self.compute_dtype
+        )
+        return jax.jit(
+            lambda p, s, fr, base: fn(
+                p, s, jnp.concatenate(fr, axis=0) if k > 1 else fr[0],
+                base, output_size=output_size,
+            )
+        )
+
     def predict_depth_from_RGB(self, images, output_size: Tuple[int, int]) -> jnp.ndarray:
         """(N, 3, H, W) [0,255] images -> (N, 1, *output_size) mm depth."""
         return self._single(tuple(output_size))(self.params, self.batch_stats, jnp.asarray(images))
@@ -203,6 +221,16 @@ class Predictor:
         base = None if base_frame is None else jnp.asarray(base_frame)
         return self._dual(tuple(output_size))(
             self.params, self.batch_stats, jnp.asarray(frames), base
+        )
+
+    def predict_dual_frames_multi(self, frames_list, base_frame, output_size) -> jnp.ndarray:
+        """Micro-batch entry: a list/tuple of k (1, 6, H, W) frames ->
+        (k, 2, *output_size), concatenated inside one jitted program (the
+        StreamingEngine's coalesced-dispatch path)."""
+        base = None if base_frame is None else jnp.asarray(base_frame)
+        fr = tuple(jnp.asarray(f) for f in frames_list)
+        return self._dual_multi((tuple(output_size), len(fr)))(
+            self.params, self.batch_stats, fr, base
         )
 
     def quantize(
@@ -259,6 +287,7 @@ class QuantizedPredictor:
         self._apply_int8 = unet_apply_int8
         self._single = functools.cache(self._make_single)
         self._dual = functools.cache(self._make_dual)
+        self._dual_multi = functools.cache(lambda key: self._make_dual_multi(*key))
 
     @property
     def delta_mm(self) -> float:
@@ -342,12 +371,30 @@ class QuantizedPredictor:
             )
         )
 
+    def _make_dual_multi(self, output_size: Tuple[int, int], k: int):
+        # see Predictor._make_dual_multi: one jitted program per micro-batch
+        # size, frames concatenated inside the jit
+        cfg, dtype, apply = self.config, self.compute_dtype, self._apply_int8
+        return jax.jit(
+            lambda q, fr, base: fused_predict_dual(
+                cfg, q.cfg, q.params, q.batch_stats,
+                jnp.concatenate(fr, axis=0) if k > 1 else fr[0],
+                base, output_size, compute_dtype=dtype,
+                net_fn=lambda x: apply(q, x, compute_dtype=dtype),
+            )
+        )
+
     def predict_depth_from_RGB(self, images, output_size: Tuple[int, int]) -> jnp.ndarray:
         return self._single(tuple(output_size))(self.q, jnp.asarray(images))
 
     def predict_dual_frames(self, frames, base_frame, output_size: Tuple[int, int]) -> jnp.ndarray:
         base = None if base_frame is None else jnp.asarray(base_frame)
         return self._dual(tuple(output_size))(self.q, jnp.asarray(frames), base)
+
+    def predict_dual_frames_multi(self, frames_list, base_frame, output_size) -> jnp.ndarray:
+        base = None if base_frame is None else jnp.asarray(base_frame)
+        fr = tuple(jnp.asarray(f) for f in frames_list)
+        return self._dual_multi((tuple(output_size), len(fr)))(self.q, fr, base)
 
     __call__ = predict_depth_from_RGB
 
@@ -358,39 +405,77 @@ def predict_depth_from_RGB(images, model: Predictor, output_size, config: Gelsli
     return model.predict_depth_from_RGB(images, output_size)
 
 
+class _Dispatch:
+    """One device program call covering k queued frames."""
+
+    __slots__ = ("out", "k", "realized", "t_done")
+
+    def __init__(self, out, k):
+        self.out = out          # (k, 2, h, w) device array; None once realized
+        self.k = k
+        self.realized = None    # np.ndarray once read back
+        self.t_done = None      # wall time of realization
+
+
 class StreamingEngine:
-    """Video-rate streaming harness for dual-GelSlim frames.
+    """Video-rate streaming harness for dual-GelSlim frames, with
+    ADAPTIVE MICRO-BATCHING: frames that arrive while the device is busy
+    coalesce into one dispatch.
 
-    Exploits JAX's async dispatch for pipelining: submit(frame) enqueues
-    device compute and returns immediately; results are collected with
-    get()/drain() in FIFO order, so host preprocessing of frame t+1 overlaps
-    device compute of frame t (BASELINE.json config 5's streaming half).
+    submit(frame) enqueues and returns immediately; results come back with
+    get()/drain() in FIFO order (BASELINE.json config 5's streaming half).
+    Dispatch policy: at most `max_dispatches` device calls are outstanding
+    at once (slots are freed by non-blocking completion checks —
+    jax.Array.is_ready — or by the consumer realizing results). When the
+    device is idle a lone frame dispatches immediately (zero added
+    latency); when all slots are busy, arriving frames queue on the host
+    and the next free slot dispatches them TOGETHER as one micro-batch of
+    up to `microbatch` frames (power-of-2 bucketed, so at most
+    log2(microbatch)+1 program shapes ever compile). Each micro-batch is
+    ONE jitted program — the frames concatenate inside the jit
+    (predict_dual_frames_multi), so a coalesced dispatch costs the same
+    host/scheduler round-trip as a single-frame one.
 
-    Real-harness semantics on top of the FIFO:
-    - Bounded in-flight depth (max_inflight): a sensor outrunning the chip
-      cannot grow host/device queues without bound.
+    Why: the chip's single-frame latency prices the int8 graph just under
+    the 1,000 dual frames/s north star (~1.05 ms/frame), but 2- and
+    4-frame dispatches cost only ~1.9/2.3 ms (docs/PERFORMANCE.md
+    "Batch-1 latency decomposition") — so a single-frame-arrival feed
+    that outruns the chip sustains the micro-batch service rate
+    (>=1,400 f/s at cap 4), not the batch-1 rate, with the engine doing
+    the batching itself (bench field `streaming_engine_fps`).
+
+    Queue semantics on the FIFO of unclaimed frames:
+    - Bounded depth (max_inflight, counted in FRAMES): a sensor outrunning
+      the chip cannot grow host/device queues without bound.
     - Drop policy when the queue is full at submit:
-        'oldest' (default): discard the oldest PENDING result and admit the
-          new frame — the live-view behavior (latency stays bounded, the
-          consumer always sees the freshest depth). The dropped frame's
-          already-dispatched compute is not cancelled (async dispatch has
-          no cancellation), only its result is discarded and counted.
+        'oldest' (default): discard the oldest unclaimed frame and admit
+          the new one — the live-view behavior (latency stays bounded, the
+          consumer always sees the freshest depth). If the dropped frame
+          was already dispatched its device work is not cancelled (async
+          dispatch has no cancellation), only its result is discarded; a
+          dropped frame that had NOT yet been dispatched costs nothing.
         'newest': refuse the new frame (submit returns False) — the
           lossless-logging behavior for a consumer that prefers gaps at
           the input over gaps in the record.
-        'block': wait for the oldest result's DEVICE work to finish, then
-          admit — bounding in-flight device compute (the scarce resource)
-          while the completed-result list grows until the consumer
-          get()/drain()s; nothing is ever dropped.
+        'block': wait for the oldest outstanding dispatch's DEVICE work to
+          finish, then admit — bounding in-flight device compute (the
+          scarce resource) while the unclaimed-result queue grows until
+          the consumer get()/drain()s; nothing is ever dropped. If the
+          consumer never drains, the queue grows without bound — the
+          engine warns (once) past `results_warn` unclaimed frames.
     - update_base(frame): swap the reference (no-contact) base frame
-      between submissions, e.g. after a regrasp; takes effect for every
-      later submit without recompilation (the base is a traced argument).
-    - stats(): throughput/latency self-report over completed frames.
+      between submissions, e.g. after a regrasp. Queued-but-undispatched
+      frames are flushed with the OLD base first (a frame is always
+      processed against the base that was current when it was submitted).
+    - flush(): dispatch everything queued without waiting for free slots.
+    - stats(): throughput/latency/dispatch-size self-report.
 
-    Note on tunneled dev terminals: sustained throughput there is bounded
-    by the ~50 MB/s H2D tunnel, not this engine or the chip
-    (docs/PERFORMANCE.md); on real TPU-VM PCIe the engine pipelines at the
-    chip's batch-1 latency."""
+    Note on tunneled dev terminals: per-frame H2D of raw host frames is
+    bounded by the ~50 MB/s tunnel, not this engine or the chip
+    (docs/PERFORMANCE.md); on real TPU-VM PCIe the engine pipelines at
+    the chip's micro-batch service rate. Deeper `max_dispatches` hides
+    per-dispatch scheduler latency (the tunneled terminal needs ~8 to
+    amortize its ~3 ms/dispatch round-trip; PCIe needs 2)."""
 
     def __init__(
         self,
@@ -400,80 +485,176 @@ class StreamingEngine:
         *,
         max_inflight: int = 4,
         drop_policy: str = "oldest",
+        microbatch: int = 4,
+        max_dispatches: int = 2,
+        results_warn: int = 64,
     ):
         if drop_policy not in ("oldest", "newest", "block"):
             raise ValueError(f"drop_policy {drop_policy!r}: want oldest|newest|block")
         if max_inflight < 1:
             raise ValueError("max_inflight must be >= 1")
+        if microbatch < 1:
+            raise ValueError("microbatch must be >= 1")
+        if max_dispatches < 1:
+            raise ValueError("max_dispatches must be >= 1")
         self.predictor = predictor
         self.output_size = tuple(output_size)
         self.base_frame = None if base_frame is None else jnp.asarray(base_frame)
         self.max_inflight = int(max_inflight)
         self.drop_policy = drop_policy
-        self._inflight = []  # (result_array, submit_time)
+        self.microbatch = int(microbatch)
+        self.max_dispatches = int(max_dispatches)
+        self.results_warn = int(results_warn)
+        # FIFO of unclaimed frames: [frame|None, _Dispatch|None, row, t_submit]
+        self._queue = []
+        self._outstanding = []  # dispatches whose device work may still run
+        self._warned = False
         self._submitted = 0
         self._dropped = 0
         self._completed = 0
+        self._n_dispatches = 0
+        self._frames_dispatched = 0
         self._latency_sum = 0.0
         self._first_submit_time = None
         self._last_complete_time = None
 
+    # -- dispatch machinery ------------------------------------------------
+    def _pending_items(self):
+        return [it for it in self._queue if it[1] is None]
+
+    def _dispatch(self, items) -> None:
+        frames = [it[0] for it in items]
+        out = self.predictor.predict_dual_frames_multi(
+            frames, self.base_frame, self.output_size
+        )
+        d = _Dispatch(out, len(items))
+        for row, it in enumerate(items):
+            it[0] = None
+            it[1] = d
+            it[2] = row
+        self._outstanding.append(d)
+        self._n_dispatches += 1
+        self._frames_dispatched += len(items)
+
+    def _pump(self) -> None:
+        # free slots held by dispatches whose device work finished
+        # (in-order on a single-stream device; is_ready is a non-blocking
+        # local future check, ~us)
+        while self._outstanding and (
+            self._outstanding[0].realized is not None
+            or self._outstanding[0].out.is_ready()
+        ):
+            self._outstanding.pop(0)
+        while len(self._outstanding) < self.max_dispatches:
+            pend = self._pending_items()
+            if not pend:
+                return
+            k = min(len(pend), self.microbatch)
+            k = 1 << (k.bit_length() - 1)  # power-of-2 bucket
+            self._dispatch(pend[:k])
+
+    def _realize(self, d: _Dispatch) -> np.ndarray:
+        import time as _time
+
+        if d.realized is None:
+            arr = np.asarray(d.out)
+            d.out = None
+            d.realized = arr
+            d.t_done = _time.perf_counter()
+        return d.realized
+
+    def _claim(self, item) -> np.ndarray:
+        d, row = item[1], item[2]
+        arr = self._realize(d)
+        self._completed += 1
+        self._latency_sum += d.t_done - item[3]
+        if self._last_complete_time is None or d.t_done > self._last_complete_time:
+            self._last_complete_time = d.t_done
+        return arr[row:row + 1]
+
+    # -- public API --------------------------------------------------------
     def update_base(self, base_frame) -> None:
+        self.flush()  # queued frames keep the base they were submitted under
         self.base_frame = None if base_frame is None else jnp.asarray(base_frame)
+
+    def flush(self) -> None:
+        """Dispatch every queued-but-undispatched frame now, ignoring the
+        dispatch-slot bound (a bounded burst: the queue itself is bounded)."""
+        while True:
+            pend = self._pending_items()
+            if not pend:
+                return
+            k = min(len(pend), self.microbatch)
+            k = 1 << (k.bit_length() - 1)
+            self._dispatch(pend[:k])
 
     def submit(self, frame) -> bool:
         """Enqueue one dual frame; returns True if admitted (False only
         under drop_policy='newest' with a full queue)."""
         import time as _time
 
-        if len(self._inflight) >= self.max_inflight:
+        if len(self._queue) >= self.max_inflight:
             if self.drop_policy == "newest":
                 self._dropped += 1
                 return False
             if self.drop_policy == "oldest":
-                self._inflight.pop(0)
+                self._queue.pop(0)  # zombie device work, if any, not cancelled
                 self._dropped += 1
-            else:  # block: realize the oldest result as backpressure
-                self._inflight[0][0].block_until_ready()
-                # keep it queued — the consumer still get()s it in order
+            else:  # block: bound DEVICE work; the result queue may grow
+                if self._outstanding:
+                    d = self._outstanding.pop(0)
+                    if d.out is not None:  # not already realized by a get()
+                        d.out.block_until_ready()
+                if not self._warned and len(self._queue) > self.results_warn:
+                    import warnings
+
+                    warnings.warn(
+                        f"StreamingEngine(drop_policy='block'): {len(self._queue)} "
+                        "unclaimed results queued — the consumer is not draining; "
+                        "memory grows until get()/drain() is called",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    self._warned = True
         frame = jnp.asarray(frame)
         if frame.ndim == 3:
             frame = frame[None]
         t = _time.perf_counter()
         if self._first_submit_time is None:
             self._first_submit_time = t
-        out = self.predictor.predict_dual_frames(frame, self.base_frame, self.output_size)
-        self._inflight.append((out, t))
+        self._queue.append([frame, None, None, t])
         self._submitted += 1
+        self._pump()
         return True
 
-    def _realize(self, out, t_submit) -> np.ndarray:
-        import time as _time
-
-        arr = np.asarray(out)
-        now = _time.perf_counter()
-        self._completed += 1
-        self._latency_sum += now - t_submit
-        self._last_complete_time = now
-        return arr
-
     def get(self) -> np.ndarray:
-        out, t = self._inflight.pop(0)
-        return self._realize(out, t)
+        """Realize and return the oldest unclaimed result (FIFO)."""
+        if not self._queue:
+            raise IndexError("get() on an empty StreamingEngine")
+        if self._queue[0][1] is None:
+            # head still undispatched (slots were held by dropped frames'
+            # zombie work): the consumer asked, so dispatch past the bound
+            self.flush()
+        item = self._queue.pop(0)
+        out = self._claim(item)
+        self._pump()  # realization freed a slot — coalesce what queued up
+        return out
 
     def drain(self):
-        out = [self._realize(o, t) for o, t in self._inflight]
-        self._inflight.clear()
+        """Realize and return ALL unclaimed results, in FIFO order."""
+        self.flush()
+        out = [self._claim(it) for it in self._queue]
+        self._queue.clear()
         return out
 
     @property
     def pending(self) -> int:
-        return len(self._inflight)
+        return len(self._queue)
 
     def stats(self) -> dict:
-        """Self-reported counters: frames submitted/completed/dropped, mean
-        submit->result latency, and end-to-end throughput over the
-        completed stream."""
+        """Self-reported counters: frames submitted/completed/dropped,
+        dispatch count and mean micro-batch size, mean submit->result
+        latency, and end-to-end throughput over the completed stream."""
         elapsed = (
             self._last_complete_time - self._first_submit_time
             if self._completed and self._first_submit_time is not None
@@ -483,9 +664,16 @@ class StreamingEngine:
             "submitted": self._submitted,
             "completed": self._completed,
             "dropped": self._dropped,
-            "pending": len(self._inflight),
+            "pending": len(self._queue),
+            "dispatches": self._n_dispatches,
+            "mean_dispatch_size": (
+                self._frames_dispatched / self._n_dispatches
+                if self._n_dispatches else None
+            ),
             "mean_latency_ms": (
                 1e3 * self._latency_sum / self._completed if self._completed else None
             ),
-            "throughput_fps": (self._completed / elapsed if elapsed > 0 else None),
+            "throughput_fps": (
+                self._completed / elapsed if self._completed and elapsed > 0 else None
+            ),
         }

@@ -151,7 +151,12 @@ class Trainer:
         self.dataset_sharding = dataset_sharding
         self.sharded = dataset_sharding == "sharded" and self.multihost
         # host copies for multi-host feeding (keyed id(ds)) and replicated
-        # device copies for DP scan epochs (keyed ("scan", id(ds)))
+        # device copies for DP scan epochs (keyed ("scan", id(ds))). Every
+        # entry stores (ds, payload) — pinning the dataset object keeps its
+        # id() from being recycled by a later allocation, so a stale entry
+        # can never be served for a DIFFERENT dataset that happens to reuse
+        # the address (the id is only a fast hashable key; the identity
+        # check is the pinned reference)
         self._host_ds_cache: Dict = {}
 
         self.weights_dir = os.path.join(output_dir, "weights")
@@ -299,16 +304,23 @@ class Trainer:
 
         return tuple(shard_batch(self.mesh, a) for a in arrays)
 
+    def _ds_cached(self, key, ds, make):
+        """Per-dataset cache entry (see _host_ds_cache comment in __init__):
+        stores (ds, payload) so the pinned reference both prevents id()
+        recycling and detects a caller swapping in a different dataset."""
+        entry = self._host_ds_cache.get(key)
+        if entry is None or entry[0] is not ds:
+            entry = (ds, make())
+            self._host_ds_cache[key] = entry
+        return entry[1]
+
     def _host_arrays(self, ds: BakedDataset):
         """Host-side numpy views of a dataset's tensors (multi-host feeding
         gathers on the host, one device_get per dataset per run)."""
-        key = id(ds)
-        if key not in self._host_ds_cache:
-            self._host_ds_cache[key] = (
-                np.asarray(ds.tactile_image),
-                np.asarray(ds.depth_image),
-            )
-        return self._host_ds_cache[key]
+        return self._ds_cached(
+            id(ds), ds,
+            lambda: (np.asarray(ds.tactile_image), np.asarray(ds.depth_image)),
+        )
 
     def _mesh_batches(self, ds: BakedDataset, it: BatchIterator):
         """Device-ready (images, targets, mask) batches for the mesh path.
@@ -356,8 +368,7 @@ class Trainer:
         global_bs = -(-self.config.batch_size // self.n_shard) * self.n_shard
         local_bs = global_bs // pc
 
-        key = ("nsteps", id(ds))
-        if key not in self._host_ds_cache:
+        def _compute_n_steps():
             if pc > 1:
                 from jax.experimental import multihost_utils
 
@@ -367,8 +378,9 @@ class Trainer:
                 n_max = int(counts.max())
             else:
                 n_max = n_local
-            self._host_ds_cache[key] = max(-(-n_max // local_bs), 1)
-        n_steps = self._host_ds_cache[key]
+            return max(-(-n_max // local_bs), 1)
+
+        n_steps = self._ds_cached(("nsteps", id(ds)), ds, _compute_n_steps)
 
         rng = np.random.RandomState(seed + 7919 * jax.process_index())
         order = rng.permutation(n_local) if shuffle else np.arange(n_local)
@@ -394,15 +406,16 @@ class Trainer:
         the mesh once (the scan body's gathers then shard each batch)."""
         if self.mesh is None:
             return ds.tactile_image, ds.depth_image
-        key = ("scan", id(ds))
-        if key not in self._host_ds_cache:
+
+        def _replicated():
             from gelslim_depth_tpu.parallel import replicate
 
-            self._host_ds_cache[key] = (
+            return (
                 replicate(self.mesh, ds.tactile_image),
                 replicate(self.mesh, ds.depth_image),
             )
-        return self._host_ds_cache[key]
+
+        return self._ds_cached(("scan", id(ds)), ds, _replicated)
 
     def _train_epoch(self, seed: int) -> float:
         # per-batch losses stay on device; ONE host readback per epoch

@@ -172,6 +172,172 @@ def test_streaming_engine_base_refresh(bundle):
     np.testing.assert_allclose(b, want, rtol=1e-6, atol=1e-6)
 
 
+class _FakeResult:
+    """Stand-in for a jax.Array whose readiness the test controls."""
+
+    def __init__(self, arr, owner):
+        self._arr = arr
+        self._owner = owner
+
+    def is_ready(self):
+        return self._owner.device_idle
+
+    def block_until_ready(self):
+        self._owner.device_idle = True
+        return self
+
+    def __array__(self, dtype=None, copy=None):
+        return np.asarray(self._arr, dtype=dtype)
+
+
+class _FakePredictor:
+    """Deterministic CPU double for the coalescing logic: each (1, 6, H, W)
+    frame maps to a (2, h, w) output filled with the frame's first value, so
+    FIFO order and micro-batch row routing are directly observable. The
+    device-busy state is a flag the test flips, making the slot machinery
+    (dispatch only when a slot frees) fully deterministic."""
+
+    def __init__(self, output_size=(4, 5)):
+        self.output_size = output_size
+        self.device_idle = False
+        self.dispatch_sizes = []
+        self.dispatch_bases = []
+
+    def predict_dual_frames_multi(self, frames_list, base_frame, output_size):
+        self.dispatch_sizes.append(len(frames_list))
+        self.dispatch_bases.append(
+            None if base_frame is None else float(np.asarray(base_frame).flat[0])
+        )
+        out = np.stack(
+            [np.full((2, *output_size), float(np.asarray(f).flat[0])) for f in frames_list]
+        )
+        return _FakeResult(out, self)
+
+
+def _const_frame(v):
+    return np.full((6, 8, 9), float(v), dtype=np.float32)
+
+
+def test_streaming_engine_coalesces_while_device_busy():
+    """VERDICT r4 item 1's CPU gate: frames submitted while the device is
+    busy coalesce — fewer dispatches than frames, power-of-2 micro-batch
+    sizes capped at `microbatch`, outputs correct and FIFO-ordered."""
+    fake = _FakePredictor()
+    eng = StreamingEngine(
+        fake, fake.output_size, max_inflight=16, microbatch=4, max_dispatches=1
+    )
+    # device idle -> the first frame dispatches alone (zero added latency)
+    eng.submit(_const_frame(0))
+    assert fake.dispatch_sizes == [1]
+    # device busy -> the next 8 frames queue on the host, no dispatches
+    for i in range(1, 9):
+        eng.submit(_const_frame(i))
+    assert fake.dispatch_sizes == [1] and eng.pending == 9
+    # slot frees -> ONE micro-batch of 4 (the cap), not 8 single dispatches
+    fake.device_idle = True
+    eng.submit(_const_frame(9))
+    assert fake.dispatch_sizes == [1, 4]
+    outs = eng.drain()  # flush dispatches the remaining 5 as 4 + 1
+    assert fake.dispatch_sizes == [1, 4, 4, 1]
+    assert [float(o.flat[0]) for o in outs] == list(range(10))  # FIFO
+    st = eng.stats()
+    assert st["dispatches"] == 4 and st["mean_dispatch_size"] == 2.5
+    assert st["completed"] == 10 and st["dropped"] == 0
+
+
+def test_streaming_engine_power_of_two_bucketing():
+    """3 pending frames dispatch as 2 + 1 (power-of-2 bucketed program
+    shapes), never as a 3-frame program."""
+    fake = _FakePredictor()
+    eng = StreamingEngine(
+        fake, fake.output_size, max_inflight=16, microbatch=8, max_dispatches=1
+    )
+    eng.submit(_const_frame(0))
+    for i in range(1, 4):
+        eng.submit(_const_frame(i))
+    fake.device_idle = True
+    outs = eng.drain()
+    assert fake.dispatch_sizes == [1, 2, 1]
+    assert [float(o.flat[0]) for o in outs] == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_streaming_engine_queued_frames_keep_submission_base():
+    """update_base flushes queued frames under the base they were
+    submitted with; only later submissions see the new base."""
+    fake = _FakePredictor()
+    eng = StreamingEngine(
+        fake, fake.output_size, base_frame=_const_frame(100),
+        max_inflight=16, microbatch=4, max_dispatches=1,
+    )
+    eng.submit(_const_frame(0))      # dispatches under base 100
+    eng.submit(_const_frame(1))      # queues (device busy)
+    eng.update_base(_const_frame(200))  # flushes frame 1 under base 100
+    fake.device_idle = True
+    eng.submit(_const_frame(2))      # dispatches under base 200
+    eng.drain()
+    assert fake.dispatch_bases == [100.0, 100.0, 200.0]
+
+
+def test_streaming_engine_block_mode_warns_on_undrained_results():
+    """drop_policy='block' never drops, but an un-draining consumer grows
+    the unclaimed-result queue — the engine warns once past results_warn."""
+    import warnings
+
+    fake = _FakePredictor()
+    fake.device_idle = True
+    eng = StreamingEngine(
+        fake, fake.output_size, max_inflight=1, drop_policy="block",
+        results_warn=2, max_dispatches=1,
+    )
+    with pytest.warns(RuntimeWarning, match="not draining"):
+        for i in range(6):
+            eng.submit(_const_frame(i))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # warns only once
+        eng.submit(_const_frame(6))
+    assert eng.stats()["dropped"] == 0
+    outs = eng.drain()
+    assert [float(o.flat[0]) for o in outs] == list(range(7))
+
+
+def test_predict_dual_frames_multi_matches_batched(bundle):
+    """The micro-batch jit (k separate (1,6,H,W) args concatenated inside
+    the program) must equal the plain batched dual graph for every bucket
+    size the engine can emit."""
+    rng2 = np.random.RandomState(7)
+    _, _, cfg, pred = bundle
+    base = rng2.uniform(0, 255, (6, 80, 107)).astype(np.float32)
+    frames = [rng2.uniform(0, 255, (1, 6, 80, 107)).astype(np.float32) for _ in range(4)]
+    for k in (1, 2, 4):
+        got = np.asarray(pred.predict_dual_frames_multi(frames[:k], base, (80, 107)))
+        want = np.asarray(
+            pred.predict_dual_frames(np.concatenate(frames[:k], axis=0), base, (80, 107))
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_streaming_engine_coalesced_outputs_match_real_predictor(bundle):
+    """End-to-end with the REAL predictor: force coalescing (deep queue,
+    one dispatch slot) and check every drained output equals the
+    per-frame fused graph, in submission order."""
+    rng2 = np.random.RandomState(11)
+    _, _, cfg, pred = bundle
+    base = rng2.uniform(0, 255, (6, 80, 107)).astype(np.float32)
+    frames = [rng2.uniform(0, 255, (6, 80, 107)).astype(np.float32) for _ in range(7)]
+    eng = StreamingEngine(
+        pred, (80, 107), base_frame=base,
+        max_inflight=8, microbatch=4, max_dispatches=1,
+    )
+    for f in frames:
+        assert eng.submit(f)
+    outs = eng.drain()
+    st = eng.stats()
+    assert st["completed"] == 7 and st["dropped"] == 0
+    for got, f in zip(outs, frames):
+        want = np.asarray(pred.predict_dual_frames(f[None], base, (80, 107)))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_config_python_roundtrip(tmp_path):
     cfg = small_config()
     cfg.train_objects = ["pattern_31_rod_train.pt"]

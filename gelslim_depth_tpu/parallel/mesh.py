@@ -129,6 +129,35 @@ def make_dp_predict(
     return jax.jit(fwd, in_shardings=(repl, repl, batched), out_shardings=batched)
 
 
+def _pallas_front_end_wanted(use_pallas, config) -> bool:
+    """Same auto rule as inference.fused_predict_dual: default-on on TPU,
+    and only for the area interp the kernel hard-wires."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    return bool(use_pallas) and config.interp_method == "area"
+
+
+def _shard_mapped_dual_graph(
+    mesh: Mesh, axis_name: str, n_state_args: int, local_fn
+):
+    """Manually partition the whole per-frame dual graph over the batch
+    axis with shard_map: each device runs local_fn — INCLUDING the Pallas
+    fused preprocess kernel, which has no GSPMD partitioning rule and so
+    cannot live under a plain sharded jit (VERDICT r4 item 3) — on its own
+    batch shard. Sound because the per-frame pipeline has no cross-device
+    dependence (weights replicate, every op maps over frames)."""
+    state_specs = (P(),) * n_state_args
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=state_specs + (P(axis_name, None, None, None), P(None, None, None)),
+        out_specs=P(axis_name, None, None, None),
+        # pallas_call has no varying-manual-axes rule either; every output
+        # is sharded on the batch axis, so the vma check adds nothing
+        check_vma=False,
+    )
+
+
 def make_dp_fused_predictor(
     config,
     unet_cfg: UNetConfig,
@@ -137,6 +166,7 @@ def make_dp_fused_predictor(
     *,
     axis_name: str = "data",
     compute_dtype=jnp.float32,
+    use_pallas=None,
 ):
     """The FULL dual-frame inference graph (diff -> resize -> normalize ->
     U-Net -> denorm -> resize back) batch-sharded over the mesh: frames
@@ -144,18 +174,33 @@ def make_dp_fused_predictor(
     needs no cross-device communication at all — linear throughput scaling
     over ICI-connected chips (BASELINE.json config 5).
 
+    use_pallas (default None = auto on TPU, same rule as
+    inference.fused_predict_dual) routes each device's shard through the
+    fused Pallas preprocess kernel via shard_map manual partitioning —
+    pallas_call has no GSPMD rule, so under the plain sharded jit the
+    kernel would force an all-gather; shard_map runs it locally per shard
+    instead (the per-frame pipeline has no cross-device dependence). The
+    shard_map path requires the batch to divide the mesh and a shared
+    (6, H, W) base; other shapes fall back to the XLA front-end, which
+    GSPMD partitions cleanly (decided at trace time — one compiled graph
+    either way).
+
     Returns predict(params, batch_stats, frames, base) -> (N, 2, *out)."""
     from gelslim_depth_tpu.inference import fused_predict_dual
 
+    pallas_ok = _pallas_front_end_wanted(use_pallas, config)
     repl = NamedSharding(mesh, P())
     frames_sh = NamedSharding(mesh, P(axis_name, None, None, None))
 
     def fwd(params, batch_stats, frames, base):
-        # use_pallas=False: pallas_call has no SPMD partitioning rule, so
-        # under the batch-sharded jit the auto-enabled kernel would force
-        # replication/all-gather of the sharded frames — the XLA front-end
-        # partitions cleanly and its cost is negligible at serving batch
-        # sizes (docs/PERFORMANCE.md)
+        if pallas_ok and base.ndim == 3 and frames.shape[0] % mesh.devices.size == 0:
+            return _shard_mapped_dual_graph(
+                mesh, axis_name, 2,
+                lambda p, s, fr, b: fused_predict_dual(
+                    config, unet_cfg, p, s, fr, b, tuple(output_size),
+                    compute_dtype=compute_dtype, use_pallas=True,
+                ),
+            )(params, batch_stats, frames, base)
         return fused_predict_dual(
             config, unet_cfg, params, batch_stats, frames, base,
             tuple(output_size), compute_dtype=compute_dtype, use_pallas=False,
@@ -311,6 +356,7 @@ def make_dp_fused_predictor_int8(
     *,
     axis_name: str = "data",
     compute_dtype=jnp.bfloat16,
+    use_pallas=None,
 ):
     """Multi-chip serving of the int8 PTQ graph (models/quantize.py):
     int8 weights + scales replicate, frames shard on the batch axis —
@@ -318,22 +364,33 @@ def make_dp_fused_predictor_int8(
     so throughput scales linearly over ICI-connected chips exactly like
     the float predictor above.
 
+    use_pallas: same semantics as make_dp_fused_predictor — the Pallas
+    fused preprocess runs per-shard under shard_map when the shapes allow.
+
     Returns predict(q, frames, base) -> (N, 2, *out) mm depth; pass the
     QuantizedUNet explicitly so its buffers stay runtime arguments."""
     from gelslim_depth_tpu.inference import fused_predict_dual
     from gelslim_depth_tpu.models.quantize import unet_apply_int8
 
+    pallas_ok = _pallas_front_end_wanted(use_pallas, config)
     repl = NamedSharding(mesh, P())
     frames_sh = NamedSharding(mesh, P(axis_name, None, None, None))
 
-    def fwd(q, frames, base):
-        # use_pallas=False for the same partitioning reason as
-        # make_dp_fused_predictor above
+    def _graph(q, frames, base, use_pallas_now):
         return fused_predict_dual(
             config, q.cfg, q.params, q.batch_stats, frames, base,
-            tuple(output_size), compute_dtype=compute_dtype, use_pallas=False,
+            tuple(output_size), compute_dtype=compute_dtype,
+            use_pallas=use_pallas_now,
             net_fn=lambda x: unet_apply_int8(q, x, compute_dtype=compute_dtype),
         )
+
+    def fwd(q, frames, base):
+        if pallas_ok and base.ndim == 3 and frames.shape[0] % mesh.devices.size == 0:
+            return _shard_mapped_dual_graph(
+                mesh, axis_name, 1,
+                lambda qq, fr, b: _graph(qq, fr, b, True),
+            )(q, frames, base)
+        return _graph(q, frames, base, False)
 
     return jax.jit(
         fwd, in_shardings=(repl, frames_sh, repl), out_shardings=frames_sh
